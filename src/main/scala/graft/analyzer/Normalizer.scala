@@ -1,0 +1,87 @@
+package graft.analyzer
+
+/** Character classes tracked by the normalizer and consumed by the n-gram
+  * tokenizer's `unify_*` grouping logic.
+  *
+  * Mirrors the semantic role of groonga's `ctypes` attached to normalized
+  * text (reference: /root/reference/lib/tokenizers.c:663-672 reads the
+  * char-type array produced by the normalizer; class-driven grouping at
+  * /root/reference/lib/tokenizers.c:973-1158). The class *partition* here is
+  * our own: we only need the distinctions the tokenizer branches on.
+  */
+object CharClass {
+  final val Null: Byte = 0
+  final val Alpha: Byte = 1 // letters of bicameral/latin-like scripts
+  final val Digit: Byte = 2
+  final val Symbol: Byte = 3 // punctuation, marks, math symbols
+  final val Blank: Byte = 4 // whitespace
+  final val Other: Byte = 5 // CJK & scripts tokenized by n-gram
+}
+
+/** Normalized text: code points (as a String) plus one class byte per
+  * char of the normalized string.
+  */
+final case class Normalized(text: String, classes: Array[Byte])
+
+/** Unicode NFKC + case-fold normalizer.
+  *
+  * Semantic counterpart of groonga's `NormalizerNFKC*` family
+  * (/root/reference/lib/normalizer.c:6415-6467): NFKC decomposition +
+  * compatibility mapping + downcasing. We delegate the NFKC tables to the
+  * JDK (`java.text.Normalizer`, Unicode tables shipped with the JRE) rather
+  * than carrying generated tables; the groonga-specific `unify_kana` etc.
+  * options are out of scope for v1 (defaults off in the reference too).
+  */
+object Normalizer {
+
+  def classify(cp: Int): Byte = {
+    if (cp <= 0x7f) { // fast ASCII path
+      if (cp >= 'a' && cp <= 'z' || cp >= 'A' && cp <= 'Z') CharClass.Alpha
+      else if (cp >= '0' && cp <= '9') CharClass.Digit
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f') CharClass.Blank
+      else CharClass.Symbol
+    } else {
+      import Character._
+      getType(cp) match {
+        case SPACE_SEPARATOR | LINE_SEPARATOR | PARAGRAPH_SEPARATOR => CharClass.Blank
+        case DECIMAL_DIGIT_NUMBER => CharClass.Digit
+        case UPPERCASE_LETTER | LOWERCASE_LETTER | TITLECASE_LETTER =>
+          // Latin/Greek/Cyrillic-like letters unify into word tokens; CJK
+          // ideographs and kana are OTHER_LETTER and fall through to Other.
+          CharClass.Alpha
+        case MODIFIER_LETTER | OTHER_LETTER =>
+          CharClass.Other
+        case CONNECTOR_PUNCTUATION | DASH_PUNCTUATION | START_PUNCTUATION | END_PUNCTUATION |
+            INITIAL_QUOTE_PUNCTUATION | FINAL_QUOTE_PUNCTUATION | OTHER_PUNCTUATION |
+            MATH_SYMBOL | CURRENCY_SYMBOL | MODIFIER_SYMBOL | OTHER_SYMBOL =>
+          CharClass.Symbol
+        case CONTROL | FORMAT => CharClass.Blank
+        case _ => CharClass.Symbol
+      }
+    }
+  }
+
+  /** NFKC-normalize, lowercase, and classify. Pure and deterministic. */
+  def normalize(raw: String): Normalized = {
+    if (raw == null || raw.isEmpty) return Normalized("", Array.emptyByteArray)
+    val nfkc =
+      if (java.text.Normalizer.isNormalized(raw, java.text.Normalizer.Form.NFKC)) raw
+      else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFKC)
+    val lowered = nfkc.toLowerCase(java.util.Locale.ROOT)
+    val classes = new Array[Byte](lowered.length)
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < lowered.length &&
+          Character.isLowSurrogate(lowered.charAt(i + 1))) {
+        val cls = classify(lowered.codePointAt(i))
+        classes(i) = cls; classes(i + 1) = cls
+        i += 2
+      } else {
+        classes(i) = classify(c)
+        i += 1
+      }
+    }
+    Normalized(lowered, classes)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.analyzer
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One token emitted by a tokenizer.
+  *
+  * @param term   normalized token text
+  * @param pos    token position (phrase arithmetic: a query-side gram that
+  *               consumed k source chars advances the counter by k, so query
+  *               positions line up with index positions — semantic equivalent
+  *               of groonga's skip accounting, /root/reference/lib/tokenizers.c:1130-1140)
+  * @param status bit flags, see [[TokenStatus]]
+  */
+final case class Token(term: String, pos: Int, status: Int)
+
+object TokenStatus {
+  /** token overlaps the previous one (n-gram stride 1) */
+  final val Overlap = 1
+  /** token shorter than the configured n-gram size (end of run) */
+  final val Unmatured = 2
+  /** last token of the input */
+  final val Last = 4
+  /** query-side: unmatured tail should be prefix-expanded
+    * (cf. force_prefix_search, /root/reference/lib/ii.cpp:11016-11017) */
+  final val ForcePrefix = 8
+}
+
+/** Tokenizer mode: Add = indexing (emit every n-gram start, stride 1);
+  * Get = query analysis (stride n, unmatured tail marks prefix search).
+  * Mirrors groonga's GRN_TOKENIZE_ADD / GET
+  * (/root/reference/lib/tokenizers.c:973-1158 skip logic).
+  */
+sealed trait TokenizeMode
+object TokenizeMode {
+  case object Add extends TokenizeMode
+  case object Get extends TokenizeMode
+}
+
+trait Tokenizer extends Serializable {
+  def name: String
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token]
+  final def tokenize(raw: String): Array[Token] = tokenize(raw, TokenizeMode.Add)
+  /** Just the terms, Add mode — the common indexing path. */
+  final def terms(raw: String): Array[String] = tokenize(raw).map(_.term)
+}
+
+/** N-gram options, semantic counterpart of `grn_ngram_options`
+  * (/root/reference/lib/tokenizers.c:452-463, defaults :493-507).
+  * With all `unify*` on (TokenBigram defaults), contiguous runs of
+  * alphabet/digit/symbol chars become single "word" tokens and only
+  * n-gram-class scripts (CJK, …) are split into grams.
+  */
+final case class NgramOptions(
+    n: Int = 2,
+    unifyAlphabet: Boolean = true,
+    unifyDigit: Boolean = true,
+    unifySymbol: Boolean = true,
+    ignoreBlank: Boolean = false,
+    removeBlank: Boolean = true)
+
+final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tokenizer {
+
+  private def unified(cls: Byte): Boolean = cls match {
+    case CharClass.Alpha => opts.unifyAlphabet
+    case CharClass.Digit => opts.unifyDigit
+    case CharClass.Symbol => opts.unifySymbol
+    case _ => false
+  }
+
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
+    val norm = Normalizer.normalize(raw)
+    val text = norm.text
+    val cls = norm.classes
+    val out = new ArrayBuffer[Token](math.max(8, text.length / 4))
+    var pos = 0
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = cls(i)
+      if (c == CharClass.Blank) {
+        i += 1 // blanks emit nothing; with ignoreBlank they are fully invisible
+      } else if (unified(c)) {
+        // whole same-class run -> one word token
+        var j = i + 1
+        while (j < len && cls(j) == c) j += 1
+        // with ignoreBlank, a blank-separated run of the same class unifies too
+        if (opts.ignoreBlank) {
+          var k = j
+          while (k < len && (cls(k) == CharClass.Blank || cls(k) == c)) k += 1
+          if (k > j && cls(k - 1) == c) j = k
+        }
+        val term =
+          if (opts.ignoreBlank) text.substring(i, j).filterNot(ch => Character.isWhitespace(ch))
+          else text.substring(i, j)
+        out += Token(term, pos, 0)
+        pos += 1
+        i = j
+      } else {
+        // n-gram run over contiguous non-unified chars (same "gram region":
+        // any class that is not blank and not unified)
+        var runEnd = i
+        while (runEnd < len && cls(runEnd) != CharClass.Blank && !unified(cls(runEnd))) runEnd += 1
+        var s = i
+        while (s < runEnd) {
+          val glen = math.min(opts.n, runEnd - s)
+          var status = 0
+          if (s > i && mode == TokenizeMode.Add) status |= TokenStatus.Overlap
+          if (glen < opts.n) {
+            status |= TokenStatus.Unmatured
+            if (mode == TokenizeMode.Get) status |= TokenStatus.ForcePrefix
+          }
+          out += Token(text.substring(s, s + glen), pos, status)
+          mode match {
+            case TokenizeMode.Add =>
+              s += 1; pos += 1 // stride 1: every char start is a position
+            case TokenizeMode.Get =>
+              s += glen; pos += glen // stride n, but positions advance per char
+          }
+        }
+        i = runEnd
+      }
+    }
+    if (out.nonEmpty) {
+      val last = out(out.length - 1)
+      out(out.length - 1) = last.copy(status = last.status | TokenStatus.Last)
+    }
+    out.toArray
+  }
+}
+
+/** Whitespace tokenizer — TokenDelimit
+  * (/root/reference/lib/tokenizers.c:200-446, registration :3111). */
+final class DelimitTokenizer extends Tokenizer {
+  val name = "TokenDelimit"
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
+    val norm = Normalizer.normalize(raw)
+    val parts = norm.text.split("\\s+").filter(_.nonEmpty)
+    val out = parts.zipWithIndex.map { case (t, i) => Token(t, i, 0) }
+    if (out.nonEmpty) out(out.length - 1) = out(out.length - 1)
+      .copy(status = TokenStatus.Last)
+    out
+  }
+}
+
+/** Regexp-pattern extraction tokenizer — TokenPattern
+  * (/root/reference/lib/tokenizers.c registration :3196). */
+final class PatternTokenizer(pattern: String) extends Tokenizer {
+  val name = "TokenPattern"
+  @transient private lazy val rx = pattern.r
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
+    val norm = Normalizer.normalize(raw)
+    val out = rx.findAllIn(norm.text).toArray.zipWithIndex
+      .map { case (t, i) => Token(t, i, 0) }
+    if (out.nonEmpty) out(out.length - 1) = out(out.length - 1)
+      .copy(status = TokenStatus.Last)
+    out
+  }
+}
+
+object Analyzers {
+  val bigram = new NgramTokenizer(NgramOptions(n = 2), "TokenBigram")
+  val unigram = new NgramTokenizer(NgramOptions(n = 1), "TokenUnigram")
+  val trigram = new NgramTokenizer(NgramOptions(n = 3), "TokenTrigram")
+  val bigramSplitSymbol = new NgramTokenizer(
+    NgramOptions(n = 2, unifySymbol = false), "TokenBigramSplitSymbol")
+  val bigramSplitSymbolAlpha = new NgramTokenizer(
+    NgramOptions(n = 2, unifySymbol = false, unifyAlphabet = false),
+    "TokenBigramSplitSymbolAlpha")
+  val bigramSplitSymbolAlphaDigit = new NgramTokenizer(
+    NgramOptions(n = 2, unifySymbol = false, unifyAlphabet = false, unifyDigit = false),
+    "TokenBigramSplitSymbolAlphaDigit")
+  val bigramIgnoreBlank = new NgramTokenizer(
+    NgramOptions(n = 2, ignoreBlank = true), "TokenBigramIgnoreBlank")
+  val delimit = new DelimitTokenizer
+
+  def byName(name: String): Tokenizer = name match {
+    case "TokenBigram" => bigram
+    case "TokenUnigram" => unigram
+    case "TokenTrigram" => trigram
+    case "TokenBigramSplitSymbol" => bigramSplitSymbol
+    case "TokenBigramSplitSymbolAlpha" => bigramSplitSymbolAlpha
+    case "TokenBigramSplitSymbolAlphaDigit" => bigramSplitSymbolAlphaDigit
+    case "TokenBigramIgnoreBlank" => bigramIgnoreBlank
+    case "TokenDelimit" => delimit
+    case other if other.startsWith("TokenNgram:") =>
+      new NgramTokenizer(NgramOptions(n = other.stripPrefix("TokenNgram:").toInt), other)
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+}
+
+/** Token filters — search-time / index-time token stream transforms
+  * (stop words: /root/reference/plugins/token_filters/stop_word.c). */
+object TokenFilters {
+  def stopWords(stop: Set[String])(tokens: Array[Token]): Array[Token] =
+    tokens.filterNot(t => stop.contains(t.term))
+}

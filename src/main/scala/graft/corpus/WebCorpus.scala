@@ -1,0 +1,96 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic Common-Crawl-style corpus generator (FIXTURES.md §1).
+  *
+  * Schema matches the authoritative input hint:
+  * (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  *
+  * Fully deterministic: every field derives from splitmix64(seed, docIndex)
+  * — no wall clock, no java.util.Random state, safe under task retries
+  * (the resumability invariant of SURVEY.md §7 risk (c)).
+  *
+  * The vocabulary is Zipf-distributed (head-term skew exercises the salted
+  * posting shuffle) and a fixed fraction of docs embeds known phrases and
+  * Japanese text to exercise the n-gram tokenizer paths.
+  */
+object WebCorpus {
+
+  final val Phrases = Array(
+    "spark fulltext search engine",
+    "inverted index posting list",
+    "block max wand pruning",
+    "web scale crawl data")
+
+  final val JaSnippets = Array(
+    "全文検索エンジン",
+    "転置インデックス構築",
+    "日本語のテストデータ")
+
+  private final val VocabSize = 8192
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** word for vocab rank r (0-based): deterministic letter sequence */
+  def word(r: Int): String = {
+    val syll = Array("ka", "to", "mi", "re", "su", "na", "be", "lo", "gi", "da",
+      "pu", "we", "sho", "ri", "ta", "zen", "mar", "vel", "dor", "lin")
+    val sb = new StringBuilder
+    var x = r + 7
+    do { sb.append(syll(x % syll.length)); x /= syll.length } while (x > 0)
+    sb.toString
+  }
+
+  /** Zipf(s=1)-ish rank sample in [0, VocabSize) from a uniform 64-bit draw */
+  private def zipfRank(u64: Long): Int = {
+    val u = ((u64 >>> 11).toDouble / (1L << 53).toDouble).max(1e-12)
+    val r = math.exp(u * math.log(VocabSize.toDouble)) - 1.0
+    math.min(VocabSize - 1, r.toInt)
+  }
+
+  def text(docIndex: Long, seed: Long): (String, String) = {
+    val h0 = splitmix64(seed ^ docIndex)
+    val lang = if ((h0 & 0xff) < 26) "ja" else "en" // ~10% ja
+    val nWords = 40 + (splitmix64(h0 + 1) & 0x7f).toInt // 40..167 words
+    val sb = new StringBuilder(nWords * 7)
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) sb.append(' ')
+      sb.append(word(zipfRank(splitmix64(h0 + 2 + i))))
+      i += 1
+    }
+    // ~12% of docs embed a known phrase (exact-phrase / topk test targets)
+    val hp = splitmix64(h0 + 900001)
+    if ((hp & 0xff) < 31) {
+      sb.append(' ').append(Phrases((hp >>> 8).toInt.abs % Phrases.length))
+    }
+    if (lang == "ja") {
+      val hj = splitmix64(h0 + 900002)
+      sb.append(' ').append(JaSnippets((hj >>> 8).toInt.abs % JaSnippets.length))
+    }
+    (sb.toString, lang)
+  }
+
+  /** Distributed generator: n docs on `partitions` partitions. docId == the
+    * range index (dense, deterministic — url sort order equals id order). */
+  def generate(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(0L, n, 1L, partitions)
+      .select($"id".as("doc_id"))
+      .as[Long]
+      .map { i =>
+        val (t, lang) = text(i, seed)
+        val url = f"https://example.org/crawl/${i}%012d"
+        val ts = new java.sql.Timestamp(1700000000000L + i * 1000L)
+        (i, url, ts, t.getBytes("UTF-8"), t, lang)
+      }
+      .toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+  }
+}

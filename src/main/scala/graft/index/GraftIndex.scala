@@ -1,0 +1,120 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.{Analyzers, TokenizeMode}
+import graft.query._
+
+/** Handle over a committed index directory: typed views over the posting /
+  * term / doc tables plus the search entry points.
+  *
+  * Query lifecycle mirrors groonga's select read path (SURVEY.md §3.1):
+  * tokenize query -> resolve term stats (df-ascending leg order,
+  * /root/reference/lib/ii.cpp:10549-10561) -> per-bucket posting kernel ->
+  * global top-k (TakeOrderedAndProject). The `term IN (...)` filter is
+  * pushed into the parquet scan; posting files are written sorted by term so
+  * row-group stats prune everything but the query terms' blocks.
+  */
+final case class GraftIndex(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  lazy val meta: IndexMeta =
+    SegmentCatalog.readMeta(SegmentCatalog.fileSystem(spark, path), path)
+
+  def postings: DataFrame = spark.read.parquet(s"$path/postings")
+  def terms: DataFrame = spark.read.parquet(s"$path/terms")
+  def docs: DataFrame = spark.read.parquet(s"$path/docs")
+
+  /** driver-side stats lookup for a small set of query terms (tiny result;
+    * the IN filter prunes parquet row groups). */
+  def termStats(qterms: Seq[String]): Map[String, TermStatRow] =
+    terms.where($"term".isin(qterms: _*)).as[TermStatRow]
+      .collect().map(t => t.term -> t).toMap
+
+  /** Tokenize a raw query string with the index's analyzer (GET mode). */
+  def analyzeQuery(raw: String): Seq[(String, Int)] =
+    Analyzers.byName(meta.tokenizer).tokenize(raw, TokenizeMode.Get)
+      .map(t => (t.term, t.pos)).toSeq
+
+  private def resolve(
+      termsWithPos: Seq[(String, Int, Double)],
+      mode: MatchMode,
+      score: ScoreMode,
+      topK: Int): ResolvedQuery = {
+    val stats = termStats(termsWithPos.map(_._1).distinct)
+    val rts = termsWithPos.map { case (t, qpos, w) =>
+      val st = stats.get(t)
+      ResolvedTerm(t, st.map(_.df).getOrElse(0L),
+        Bm25.idf(meta.nDocs, st.map(_.df).getOrElse(0L)), w, qpos)
+    }
+    ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK)
+  }
+
+  /** Core search: (doc_id, score) matches for the given terms. */
+  def searchTerms(
+      qterms: Seq[String],
+      mode: MatchMode = MatchMode.All,
+      score: ScoreMode = ScoreMode.Tf,
+      topK: Int = 0,
+      weights: Map[String, Double] = Map.empty): DataFrame = {
+    val withPos = qterms.zipWithIndex.map { case (t, i) =>
+      (t, i, weights.getOrElse(t, 1.0))
+    }
+    val distinctTerms = qterms.distinct
+    // conjunctive query with an unknown term can match nothing — skip the scan
+    val stats = termStats(distinctTerms)
+    val allKnown = distinctTerms.forall(stats.contains)
+    val requireAll = mode match {
+      case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near => true
+      case _ => false
+    }
+    if (requireAll && !allKnown)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val q = resolve(withPos, mode, score, topK)
+    val blocks = postings.where($"term".isin(distinctTerms: _*)).as[PostingBlockRow]
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
+      .toDF("doc_id", "score")
+  }
+
+  /** Phrase search from a raw phrase string: query-side tokenize (GET mode)
+    * supplies the token offsets used by the adjacency check. */
+  def searchPhrase(phrase: String, score: ScoreMode = ScoreMode.Tf, topK: Int = 0): DataFrame = {
+    val toks = analyzeQuery(phrase)
+    if (toks.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val stats = termStats(toks.map(_._1).distinct)
+    if (!toks.forall(t => stats.contains(t._1)))
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val q = resolve(toks.map { case (t, p) => (t, p, 1.0) }, MatchMode.Phrase, score, topK)
+    val blocks = postings.where($"term".isin(toks.map(_._1).distinct: _*)).as[PostingBlockRow]
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
+      .toDF("doc_id", "score")
+  }
+
+  /** Prefix expansion over the sorted term dictionary (pat-cursor analogue,
+    * /root/reference/lib/ii.cpp:10286-10470 EX_PREFIX). */
+  def expandPrefix(prefix: String, maxExpansions: Int = 1024): Seq[String] =
+    terms.where($"term".startsWith(prefix))
+      .orderBy(desc("df")).limit(maxExpansions)
+      .select($"term").as[String].collect().toSeq
+
+  /** Fuzzy expansion: terms within edit distance (GRN_OP_FUZZY,
+    * /root/reference/lib/ii.cpp:11116-11208) — distributed levenshtein over
+    * the term dictionary with a cheap length prefilter. */
+  def expandFuzzy(term: String, maxDistance: Int, prefixLength: Int = 0,
+      maxExpansions: Int = 64): Seq[String] = {
+    val base = terms
+      .where(length($"term").between(term.length - maxDistance, term.length + maxDistance))
+    val pref = if (prefixLength > 0)
+      base.where($"term".startsWith(term.take(prefixLength))) else base
+    pref.where(levenshtein(lit(term), $"term") <= maxDistance)
+      .orderBy(desc("df")).limit(maxExpansions)
+      .select($"term").as[String].collect().toSeq
+  }
+
+  /** Top-k with the deterministic reference tie order (-_score, _id). */
+  def topK(result: DataFrame, k: Int): DataFrame =
+    result.orderBy(desc("score"), asc("doc_id")).limit(k)
+}

@@ -1,0 +1,79 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Iceberg-style segment catalog: each index lives in a directory whose
+  * stages (postings/terms/docs) carry their own _SUCCESS markers and whose
+  * manifest.json is committed last via write-temp + atomic rename. A reader
+  * only sees a fully-committed index; a crashed build resumes by skipping
+  * completed stages. (The sandbox ships no Iceberg jar — this is the
+  * documented Iceberg-shaped swap-in point from SURVEY.md §7.4.)
+  */
+object SegmentCatalog {
+  implicit private val fmts: Formats = DefaultFormats
+
+  final val ManifestFile = "manifest.json"
+
+  def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isCommitted(fs: FileSystem, outPath: String): Boolean =
+    fs.exists(new Path(outPath, ManifestFile))
+
+  def stageComplete(fs: FileSystem, stagePath: String): Boolean =
+    fs.exists(new Path(stagePath, "_SUCCESS"))
+
+  /** Run `write` only if the stage has not already committed (resume). */
+  def writeStageIfAbsent(fs: FileSystem, stagePath: String)(write: => Unit): Unit =
+    if (!stageComplete(fs, stagePath)) write
+
+  def commit(fs: FileSystem, outPath: String, meta: IndexMeta,
+      metrics: Map[String, String]): Unit = {
+    val json = Serialization.writePretty(Map(
+      "formatVersion" -> meta.formatVersion,
+      "tokenizer" -> meta.tokenizer,
+      "withPositions" -> meta.withPositions,
+      "blockSize" -> meta.blockSize,
+      "bucketBits" -> meta.bucketBits,
+      "nDocs" -> meta.nDocs,
+      "avgdl" -> meta.avgdl,
+      "totalPostings" -> meta.totalPostings,
+      "totalPayloadBytes" -> meta.totalPayloadBytes,
+      "segments" -> meta.segments,
+      "metrics" -> metrics))
+    val tmp = new Path(outPath, s"$ManifestFile.tmp")
+    val dst = new Path(outPath, ManifestFile)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit failed for $outPath")
+  }
+
+  def readMeta(fs: FileSystem, outPath: String): IndexMeta = {
+    val in = fs.open(new Path(outPath, ManifestFile))
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val j = JsonMethods.parse(json)
+    IndexMeta(
+      formatVersion = (j \ "formatVersion").extract[Int],
+      tokenizer = (j \ "tokenizer").extract[String],
+      withPositions = (j \ "withPositions").extract[Boolean],
+      blockSize = (j \ "blockSize").extract[Int],
+      bucketBits = (j \ "bucketBits").extract[Int],
+      nDocs = (j \ "nDocs").extract[Long],
+      avgdl = (j \ "avgdl").extract[Double],
+      totalPostings = (j \ "totalPostings").extract[Long],
+      totalPayloadBytes = (j \ "totalPayloadBytes").extract[Long],
+      segments = (j \ "segments").extract[Seq[String]])
+  }
+}

@@ -1,0 +1,357 @@
+package graft.query
+
+import graft.codec.{DecodedBlock, PostingCodec}
+import graft.index.PostingBlockRow
+
+import scala.collection.mutable
+
+/** Match modes, mirroring groonga's operator set executed by grn_ii_select
+  * (/root/reference/lib/ii.cpp:14680; dispatch lib/table_selector.c:1171). */
+sealed trait MatchMode extends Serializable
+object MatchMode {
+  /** conjunctive — all terms (GRN_OP_MATCH over AND-merged result set) */
+  case object All extends MatchMode
+  /** disjunctive — any term, scores accumulate (OR merge) */
+  case object Any extends MatchMode
+  /** position-adjacent phrase (the EXACT-mode phrase check,
+    * /root/reference/lib/ii.cpp:13538-13605) */
+  case object Phrase extends MatchMode
+  /** all terms within a window (GRN_OP_NEAR, /root/reference/lib/ii.cpp:13383-13533) */
+  final case class Near(maxInterval: Int) extends MatchMode
+  /** at least `min` distinct terms present (GRN_OP_QUORUM) */
+  final case class Quorum(min: Int) extends MatchMode
+}
+
+sealed trait ScoreMode extends Serializable
+object ScoreMode {
+  /** groonga default: score = sum of occurrences x weight
+    * (record_score=(n_occurrences+total_weights)*column_weight,
+    * /root/reference/lib/ii.cpp:13694-13696) */
+  case object Tf extends ScoreMode
+  /** Okapi BM25 with the reference's constants and idf
+    * (/root/reference/lib/tokenizers.c:2110-2111, 2637-2652) */
+  final case class Bm25(k1: Double = 2.0, b: Double = 0.75) extends ScoreMode
+}
+
+final case class ResolvedTerm(
+    term: String, df: Long, idf: Double, weight: Double, qpos: Int)
+
+final case class ResolvedQuery(
+    terms: Array[ResolvedTerm],
+    mode: MatchMode,
+    score: ScoreMode,
+    avgdl: Double,
+    /** per-bucket top-k pruning (0 = emit every match). Rank-safe: docs are
+      * scanned in ascending docId and ties lose to earlier docs, so the
+      * per-bucket top-k always contains the bucket's contribution to the
+      * global top-k. */
+    topK: Int)
+
+object Bm25 {
+  /** idf = ln((N - df + 0.5)/(df + 0.5) + 1) — reference formula at
+    * /root/reference/lib/tokenizers.c:2637-2652. */
+  def idf(nDocs: Long, df: Long): Double =
+    math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+
+  def weight(tf: Double, dl: Double, avgdl: Double, k1: Double, b: Double): Double =
+    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+}
+
+/** Streaming cursor over one term's posting blocks within one bucket.
+  * Blocks must be ordered by blk; docIds ascend across and within blocks.
+  * Block min/max docs act as skip pointers (advanceTo skips whole blocks
+  * without decoding — role of chunk-header dgaps,
+  * /root/reference/lib/ii.cpp:16200-16219, cursor skip :8139).
+  */
+final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
+  private var bi = 0
+  private var block: DecodedBlock = _
+  private var i = 0
+  private var posBase = 0
+  var exhausted: Boolean = blocks.isEmpty
+  if (!exhausted) loadBlock()
+
+  private def loadBlock(): Unit = {
+    block = PostingCodec.decode(blocks(bi).payload)
+    i = 0
+    posBase = 0
+  }
+
+  def doc: Long = block.docIds(i)
+  def tf: Int = block.tfs(i)
+  def dl: Int = block.dls(i)
+  def positions: Array[Int] = {
+    val out = new Array[Int](block.tfs(i))
+    System.arraycopy(block.positions, posBase, out, 0, out.length)
+    out
+  }
+  /** true while block.positions non-empty */
+  def hasPositions: Boolean = block.positions.length > 0
+
+  /** Block-max score upper bound for the current block (WAND input):
+    * idf x weight x bm25(maxTf, minDl). */
+  def blockUpperBound(avgdl: Double, k1: Double, b: Double): Double =
+    rt.idf * rt.weight *
+      Bm25.weight(blocks(bi).max_tf.toDouble, blocks(bi).min_dl.toDouble, avgdl, k1, b)
+
+  def next(): Unit = {
+    if (exhausted) return
+    posBase += block.tfs(i)
+    i += 1
+    if (i >= block.count) {
+      bi += 1
+      if (bi >= blocks.length) exhausted = true else loadBlock()
+    }
+  }
+
+  /** advance to the first posting with docId >= target */
+  def advanceTo(target: Long): Unit = {
+    if (exhausted) return
+    // skip whole blocks by max_doc
+    if (blocks(bi).max_doc < target) {
+      var nb = bi + 1
+      while (nb < blocks.length && blocks(nb).max_doc < target) nb += 1
+      if (nb >= blocks.length) { exhausted = true; return }
+      bi = nb
+      loadBlock()
+    }
+    // in-block: linear from i (blocks are small); maintain posBase
+    while (!exhausted && block.docIds(i) < target) next()
+  }
+}
+
+object MatchKernel {
+
+  /** Run the match over one bucket's blocks for all query terms.
+    * Emits (docId, score) matches (per-bucket top-k if q.topK > 0). */
+  def run(q: ResolvedQuery, rows: Iterator[PostingBlockRow]): Iterator[(Long, Double)] = {
+    // organize: term -> blocks ordered by blk
+    val byTerm = new mutable.HashMap[String, mutable.ArrayBuffer[PostingBlockRow]]()
+    rows.foreach { r => byTerm.getOrElseUpdate(r.term, new mutable.ArrayBuffer[PostingBlockRow]()) += r }
+    val cursors: Array[TermCursor] = q.terms.flatMap { rt =>
+      byTerm.get(rt.term).map { bs => new TermCursor(rt, bs.sortBy(_.blk).toArray) }
+    }
+    val results: Iterator[(Long, Double)] = q.mode match {
+      case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near =>
+        if (cursors.length < q.terms.length) Iterator.empty // a term missing in bucket
+        else conjunctive(q, cursors)
+      case MatchMode.Any => disjunctive(q, cursors, minMatch = 1)
+      case MatchMode.Quorum(m) => disjunctive(q, cursors, minMatch = m)
+    }
+    if (q.topK > 0) topK(results, q.topK) else results
+  }
+
+  private def score1(q: ResolvedQuery, c: TermCursor, tfOverride: Int = -1): Double = {
+    val tf = if (tfOverride >= 0) tfOverride else c.tf
+    q.score match {
+      case ScoreMode.Tf => tf.toDouble * c.rt.weight
+      case ScoreMode.Bm25(k1, b) =>
+        c.rt.idf * c.rt.weight * Bm25.weight(tf.toDouble, c.dl.toDouble, q.avgdl, k1, b)
+    }
+  }
+
+  /** AND / phrase / near: leapfrog intersection driven by the rarest term
+    * (df-ascending driver — token_compare, /root/reference/lib/ii.cpp:10549-10561). */
+  private def conjunctive(q: ResolvedQuery, cursors: Array[TermCursor]): Iterator[(Long, Double)] = {
+    val order = cursors.sortBy(_.rt.df)
+    new Iterator[(Long, Double)] {
+      private var nextHit: (Long, Double) = _
+      private var done = order.exists(_.exhausted)
+
+      private def findNext(): Unit = {
+        nextHit = null
+        while (nextHit == null && !done) {
+          val target = order(0).doc
+          var aligned = true
+          var i = 1
+          while (i < order.length && aligned) {
+            order(i).advanceTo(target)
+            if (order(i).exhausted) { done = true; return }
+            if (order(i).doc != target) {
+              order(0).advanceTo(order(i).doc)
+              if (order(0).exhausted) { done = true; return }
+              aligned = false
+            }
+            i += 1
+          }
+          if (aligned) {
+            val s = matchedScore(q, order, target)
+            if (s.isDefined) nextHit = (target, s.get)
+            order(0).next()
+            if (order(0).exhausted) done = true
+          }
+        }
+      }
+
+      findNext()
+      def hasNext: Boolean = nextHit != null
+      def next(): (Long, Double) = {
+        val h = nextHit; findNext(); h
+      }
+    }
+  }
+
+  /** score a doc where all cursors are aligned; applies phrase/near position
+    * checks. Returns None if position constraints reject the doc. */
+  private def matchedScore(
+      q: ResolvedQuery, aligned: Array[TermCursor], doc: Long): Option[Double] = {
+    q.mode match {
+      case MatchMode.All =>
+        var s = 0.0
+        var i = 0
+        while (i < aligned.length) { s += score1(q, aligned(i)); i += 1 }
+        Some(s)
+      case MatchMode.Phrase =>
+        // occurrences where every term appears at base + (qpos_i - qpos_0)
+        val base = aligned.minBy(_.rt.qpos)
+        val others = aligned.filter(_ ne base)
+        val otherPos = others.map(_.positions)
+        var occurrences = 0
+        val basePos = base.positions
+        var i = 0
+        while (i < basePos.length) {
+          val p0 = basePos(i)
+          var ok = true
+          var j = 0
+          while (j < others.length && ok) {
+            val want = p0 + (others(j).rt.qpos - base.rt.qpos)
+            ok = java.util.Arrays.binarySearch(otherPos(j), want) >= 0
+            j += 1
+          }
+          if (ok) occurrences += 1
+          i += 1
+        }
+        if (occurrences == 0) None
+        else Some(q.score match {
+          case ScoreMode.Tf => occurrences.toDouble
+          case ScoreMode.Bm25(k1, b) =>
+            // phrase scored as a unit: idf of the rarest member term
+            val idf = aligned.map(_.rt.idf).max
+            idf * Bm25.weight(occurrences.toDouble, base.dl.toDouble, q.avgdl, k1, b)
+        })
+      case MatchMode.Near(maxInterval) =>
+        // minimal window over all terms' positions within maxInterval
+        val lists = aligned.map(_.positions)
+        var best = Int.MaxValue
+        val idx = new Array[Int](lists.length)
+        var run = true
+        while (run) {
+          var minV = Int.MaxValue; var maxV = Int.MinValue; var minI = -1
+          var i = 0
+          while (i < lists.length) {
+            val v = lists(i)(idx(i))
+            if (v < minV) { minV = v; minI = i }
+            if (v > maxV) maxV = v
+            i += 1
+          }
+          if (maxV - minV < best) best = maxV - minV
+          idx(minI) += 1
+          if (idx(minI) >= lists(minI).length) run = false
+        }
+        if (best <= maxInterval) {
+          var s = 0.0
+          var i = 0
+          while (i < aligned.length) { s += score1(q, aligned(i)); i += 1 }
+          Some(s)
+        } else None
+      case _ => Some(0.0)
+    }
+  }
+
+  /** OR / quorum: k-way docId merge; Block-Max WAND pruning kicks in for
+    * BM25 top-k (rank-identical — bound is provably >= any score in block). */
+  private def disjunctive(
+      q: ResolvedQuery, cursors0: Array[TermCursor], minMatch: Int): Iterator[(Long, Double)] = {
+    val cursors = cursors0.filterNot(_.exhausted)
+    if (cursors.isEmpty || cursors.length < minMatch) return Iterator.empty
+    val useWand = q.topK > 0 && minMatch == 1 && q.score.isInstanceOf[ScoreMode.Bm25]
+    if (useWand) return wand(q, cursors)
+    val out = new mutable.ArrayBuffer[(Long, Double)]()
+    val live = mutable.ArrayBuffer(cursors: _*)
+    while (live.nonEmpty) {
+      var minDoc = Long.MaxValue
+      var i = 0
+      while (i < live.length) {
+        if (live(i).doc < minDoc) minDoc = live(i).doc
+        i += 1
+      }
+      var s = 0.0
+      var nMatched = 0
+      i = 0
+      while (i < live.length) {
+        if (live(i).doc == minDoc) {
+          s += score1(q, live(i)); nMatched += 1
+          live(i).next()
+        }
+        i += 1
+      }
+      if (nMatched >= minMatch) out += ((minDoc, s))
+      live.filterInPlace(!_.exhausted)
+    }
+    out.iterator
+  }
+
+  /** PriorityQueue ordering whose max (= head, dequeued first) is the WORST
+    * entry of a top-k: smallest score, ties -> largest docId. */
+  private val evictOrder: Ordering[(Double, Long)] = (a: (Double, Long), b: (Double, Long)) => {
+    val c = java.lang.Double.compare(b._1, a._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+
+  /** Block-Max WAND (Ding & Suel 2011 style) over this bucket. */
+  private def wand(q: ResolvedQuery, cursors: Array[TermCursor]): Iterator[(Long, Double)] = {
+    val ScoreMode.Bm25(k1, b) = q.score: @unchecked
+    val k = q.topK
+    // min-heap of (score, docId): worst of the current top-k on top.
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](evictOrder)
+    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._1
+    val live = mutable.ArrayBuffer(cursors: _*)
+
+    while (live.nonEmpty) {
+      val sorted = live.sortBy(_.doc)
+      var ubSum = 0.0
+      var pivot = -1
+      val t = threshold
+      var i = 0
+      while (i < sorted.length && pivot < 0) {
+        ubSum += sorted(i).blockUpperBound(q.avgdl, k1, b)
+        if (ubSum > t) pivot = i
+        i += 1
+      }
+      if (pivot < 0) return heapResults(heap)
+      val pivotDoc = sorted(pivot).doc
+      if (sorted(0).doc == pivotDoc) {
+        // fully evaluate pivotDoc across ALL cursors positioned on it
+        // (cursors beyond the pivot may also sit on pivotDoc)
+        var s = 0.0
+        var j = 0
+        while (j < sorted.length && sorted(j).doc == pivotDoc) {
+          s += score1(q, sorted(j)); sorted(j).next()
+          j += 1
+        }
+        if (heap.size < k) heap.enqueue((s, pivotDoc))
+        else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, pivotDoc)) }
+        live.filterInPlace(!_.exhausted)
+      } else {
+        // advance the leading cursors to the pivot
+        var j = 0
+        while (j < pivot) { sorted(j).advanceTo(pivotDoc); j += 1 }
+        live.filterInPlace(!_.exhausted)
+      }
+    }
+    heapResults(heap)
+  }
+
+  private def heapResults(heap: mutable.PriorityQueue[(Double, Long)]): Iterator[(Long, Double)] =
+    heap.toArray.iterator.map { case (s, d) => (d, s) }
+
+  /** exact streaming top-k over ascending-docId matches (ties -> earlier doc) */
+  private def topK(it: Iterator[(Long, Double)], k: Int): Iterator[(Long, Double)] = {
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](evictOrder)
+    it.foreach { case (d, s) =>
+      if (heap.size < k) heap.enqueue((s, d))
+      else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, d)) }
+    }
+    heapResults(heap)
+  }
+}

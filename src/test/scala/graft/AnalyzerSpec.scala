@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analyzer._
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("normalizer: NFKC + case fold") {
+    assert(Normalizer.normalize("ＡｂＣ").text == "abc") // full-width -> ascii
+    assert(Normalizer.normalize("HELLO World").text == "hello world")
+    assert(Normalizer.normalize("①②").text == "12") // compatibility digits
+    assert(Normalizer.normalize("ﬁsh").text == "fish") // ligature
+    assert(Normalizer.normalize("").text == "")
+  }
+
+  test("normalizer: char classes") {
+    val n = Normalizer.normalize("ab1 .日")
+    assert(n.classes.toSeq == Seq(
+      CharClass.Alpha, CharClass.Alpha, CharClass.Digit, CharClass.Blank,
+      CharClass.Symbol, CharClass.Other))
+  }
+
+  test("bigram: unified alpha run is one word token") {
+    val toks = Analyzers.bigram.tokenize("spark search")
+    assert(toks.map(_.term).toSeq == Seq("spark", "search"))
+    assert(toks.map(_.pos).toSeq == Seq(0, 1))
+    assert((toks.last.status & TokenStatus.Last) != 0)
+  }
+
+  test("bigram: CJK run emits overlapping grams + unmatured tail (ADD mode)") {
+    // reference behavior: every char start emits a gram, tail shorter than n
+    // (ngram_next, /root/reference/lib/tokenizers.c:973-1158)
+    val toks = Analyzers.bigram.tokenize("日本語")
+    assert(toks.map(_.term).toSeq == Seq("日本", "本語", "語"))
+    assert(toks.map(_.pos).toSeq == Seq(0, 1, 2))
+    assert((toks(1).status & TokenStatus.Overlap) != 0)
+    assert((toks(2).status & TokenStatus.Unmatured) != 0)
+  }
+
+  test("bigram GET mode: stride n, unmatured tail forces prefix") {
+    val toks = Analyzers.bigram.tokenize("日本語", TokenizeMode.Get)
+    assert(toks.map(_.term).toSeq == Seq("日本", "語"))
+    assert(toks.map(_.pos).toSeq == Seq(0, 2)) // positions line up with ADD
+    assert((toks(1).status & TokenStatus.ForcePrefix) != 0)
+  }
+
+  test("bigram: mixed script positions stay aligned") {
+    val toks = Analyzers.bigram.tokenize("spark 2.0 リリース")
+    assert(toks.map(t => (t.term, t.pos)).toSeq == Seq(
+      ("spark", 0), ("2", 1), (".", 2), ("0", 3),
+      ("リリ", 4), ("リー", 5), ("ース", 6), ("ス", 7)))
+  }
+
+  test("bigram variants: split symbol/alpha produce grams") {
+    val t1 = Analyzers.bigramSplitSymbolAlpha.tokenize("abc")
+    assert(t1.map(_.term).toSeq == Seq("ab", "bc", "c"))
+    val t2 = Analyzers.bigram.tokenize("abc")
+    assert(t2.map(_.term).toSeq == Seq("abc"))
+  }
+
+  test("trigram / unigram") {
+    assert(Analyzers.trigram.tokenize("日本語だよ").map(_.term).toSeq ==
+      Seq("日本語", "本語だ", "語だよ", "だよ", "よ"))
+    assert(Analyzers.unigram.tokenize("日本").map(_.term).toSeq == Seq("日", "本"))
+  }
+
+  test("ignore blank unifies across spaces") {
+    val toks = Analyzers.bigramIgnoreBlank.tokenize("ab cd")
+    assert(toks.map(_.term).toSeq == Seq("abcd"))
+  }
+
+  test("delimit tokenizer") {
+    val toks = Analyzers.delimit.tokenize("Hello  World\tFoo")
+    assert(toks.map(_.term).toSeq == Seq("hello", "world", "foo"))
+  }
+
+  test("stop word filter") {
+    val toks = TokenFilters.stopWords(Set("the"))(Analyzers.bigram.tokenize("the spark engine"))
+    assert(toks.map(_.term).toSeq == Seq("spark", "engine"))
+  }
+
+  test("bigram equals regex word split on pure ascii alnum text") {
+    // the invariant the DuckDB oracle relies on for the documents table
+    val s = "the fast key order sort 42 batches"
+    val expect = s.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    assert(Analyzers.bigram.terms(s).toSeq == expect)
+  }
+}

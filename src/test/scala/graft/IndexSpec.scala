@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.WebCorpus
+import graft.index._
+import graft.query._
+
+class IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val nDocs = 300
+  // small bucketBits (6 -> buckets of 64 docs) to exercise the salted path
+  private lazy val cfg = IndexConfig(tokenizer = "TokenBigram", bucketBits = 6)
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft-idx").toString
+  private lazy val corpus: Seq[(Long, String)] = {
+    (0L until nDocs).map(i => i -> WebCorpus.text(i, 42L)._1)
+  }
+  private lazy val naive = new NaiveSearch(corpus)
+  private lazy val index: GraftIndex = {
+    val df = WebCorpus.generate(spark, nDocs, partitions = 4)
+    IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx", cfg)
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  // terms drawn from the actual corpus vocabulary, by df rank
+  private lazy val byDf: Seq[String] = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.map(_._1)
+  private def headTerm(i: Int): String = byDf(i)
+  private def midTerm(i: Int): String = byDf(byDf.length / 2 + i)
+
+  test("corpus generator is deterministic") {
+    assert(WebCorpus.text(7, 42L) == WebCorpus.text(7, 42L))
+    assert(WebCorpus.text(7, 42L) != WebCorpus.text(8, 42L))
+  }
+
+  test("manifest stats match the naive oracle") {
+    assert(index.meta.nDocs == naive.nDocs)
+    assert(math.abs(index.meta.avgdl - naive.avgdl) < 1e-9)
+    assert(index.meta.totalPostings > 0)
+  }
+
+  test("term dictionary df matches naive") {
+    val sample = naive.df.toSeq.sortBy(-_._2).take(20) ++
+      naive.df.toSeq.sortBy(_._2).take(5)
+    val stats = index.termStats(sample.map(_._1))
+    sample.foreach { case (term, d) =>
+      assert(stats(term).df == d, s"df($term)")
+    }
+  }
+
+  test("AND match + TF score equals naive") {
+    val terms = Seq(headTerm(0), headTerm(1))
+    val got = collectScores(index.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got.nonEmpty, s"head terms $terms should co-occur")
+    assert(got == naive.tfScoreAnd(terms))
+  }
+
+  test("AND match with rare term equals naive") {
+    val rare = naive.df.toSeq.filter { case (_, d) => d >= 3 && d < 20 }.maxBy(_._2)._1
+    val terms = Seq(headTerm(0), rare)
+    val got = collectScores(index.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got == naive.tfScoreAnd(terms))
+  }
+
+  test("AND match with unknown term is empty") {
+    assert(index.searchTerms(Seq(headTerm(0), "zzzzznotaterm"), MatchMode.All).count() == 0)
+  }
+
+  test("OR match + BM25 equals naive") {
+    val terms = Seq(midTerm(0), midTerm(1))
+    val got = collectScores(index.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25()))
+    val want = naive.bm25ScoreOr(terms)
+    assert(got.nonEmpty)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("quorum match equals naive") {
+    val terms = Seq(headTerm(2), headTerm(3), midTerm(2))
+    val got = index.searchTerms(terms, MatchMode.Quorum(2), ScoreMode.Tf)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got == naive.quorumMatch(terms, 2))
+  }
+
+  test("BM25 AND scores equal naive") {
+    val terms = Seq(headTerm(4), headTerm(5))
+    val got = collectScores(index.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    val want = naive.bm25ScoreAnd(terms)
+    assert(got.nonEmpty)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("phrase search equals naive") {
+    val phrase = "spark fulltext search engine"
+    val got = collectScores(index.searchPhrase(phrase, ScoreMode.Tf))
+    val want = naive.phraseMatch(phrase).map { case (id, n) => id -> n.toDouble }
+    assert(got == want)
+    assert(got.nonEmpty, "phrase should occur in the corpus")
+  }
+
+  test("WAND top-k is rank-identical to naive BM25 top-k") {
+    for (terms <- Seq(
+        Seq(headTerm(0)),
+        Seq(headTerm(0), headTerm(1)),
+        Seq(headTerm(2), midTerm(3), midTerm(4)),
+        Seq(headTerm(0), headTerm(1), headTerm(2), midTerm(5)))) {
+      val k = 10
+      val got = index.topK(
+        index.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = k), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = naive.topK(naive.bm25ScoreOr(terms), k)
+      assert(got.map(_._1) == want.map(_._1), s"docIds for $terms")
+      got.zip(want).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9)
+      }
+    }
+  }
+
+  test("prefix expansion finds dictionary terms") {
+    val prefix = headTerm(0).take(2)
+    val exp = index.expandPrefix(prefix)
+    assert(exp.nonEmpty)
+    assert(exp.contains(headTerm(0)))
+    assert(exp.forall(_.startsWith(prefix)))
+  }
+
+  test("fuzzy expansion within edit distance") {
+    val t = headTerm(6)
+    val exp = index.expandFuzzy(t, 1)
+    assert(exp.contains(t))
+    assert(exp.forall(x => math.abs(x.length - t.length) <= 1))
+  }
+
+  test("near match within window equals brute check") {
+    val terms = Seq(headTerm(0), headTerm(1))
+    val got = index.searchTerms(terms, MatchMode.Near(3), ScoreMode.Tf)
+      .collect().map(_.getLong(0)).toSet
+    val want = corpus.flatMap { case (id, _) =>
+      val toks = naive.tokenized(id)
+      val p1 = toks.filter(_.term == terms(0)).map(_.pos)
+      val p2 = toks.filter(_.term == terms(1)).map(_.pos)
+      val ok = p1.nonEmpty && p2.nonEmpty &&
+        p1.exists(a => p2.exists(b => math.abs(a - b) <= 3))
+      if (ok) Some(id) else None
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("build is resumable: second call reuses the committed manifest") {
+    val df = WebCorpus.generate(spark, nDocs, partitions = 4)
+    val t0 = System.nanoTime()
+    val again = IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx", cfg)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(again.meta.nDocs == index.meta.nDocs)
+    assert(elapsed < 5.0, s"resume should skip the build, took ${elapsed}s")
+  }
+
+  test("bucketBits does not change results") {
+    val df = WebCorpus.generate(spark, nDocs, partitions = 4)
+    val wide = IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx-wide",
+      cfg.copy(bucketBits = 30))
+    val terms = Seq(headTerm(0), headTerm(1))
+    val a = collectScores(index.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    val b = collectScores(wide.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    assert(a == b)
+  }
+}
