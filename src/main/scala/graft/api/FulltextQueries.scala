@@ -1,0 +1,277 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.{MatchMode, ScoreMode}
+
+/** Fulltext correctness-gate queries over the `documents` table, each paired
+  * with DuckDB oracle SQL computing the same semantics from first principles
+  * (tokenize-with-SQL; the documents corpus is pure `[a-z0-9 ]` so TokenBigram
+  * tokenization == regex word split — asserted by AnalyzerSpec).
+  *
+  * Query shapes mirror groonga `select --query/--match_columns` operators
+  * (SURVEY.md §2.3): MATCH/AND, OR, quorum, phrase, NEAR, prefix, fuzzy,
+  * regexp, unsplit, adjuster, similar, plus match-escalation and a drilldown
+  * over the match result.
+  */
+object FulltextQueries {
+
+  /** shared oracle CTE prologue: tokens / positions / dl / corpus stats */
+  private val OracleProlog: String =
+    """WITH tl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+      |ptoks AS (
+      |  SELECT doc_id, tp[1] AS term, CAST(tp[2] AS INT) AS pos
+      |  FROM (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS tp FROM tl)),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |""".stripMargin
+
+  private def sqlList(terms: Seq[String]): String =
+    terms.map(t => s"'$t'").mkString("(", ",", ")")
+
+  private def longScore(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+
+  // ---- queries ----
+
+  def andTf(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("spark", "join"), MatchMode.All, ScoreMode.Tf))
+
+  val andTfSql: String = OracleProlog +
+    s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+       |WHERE term IN ${sqlList(Seq("spark", "join"))}
+       |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin
+
+  def orQuorum(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("dup", "query", "vector"), MatchMode.Quorum(2), ScoreMode.Tf))
+
+  val orQuorumSql: String = OracleProlog +
+    s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+       |WHERE term IN ${sqlList(Seq("dup", "query", "vector"))}
+       |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    idx.topK(idx.searchTerms(Seq("spark", "dup", "window"),
+        MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  val bm25TopKSql: String = OracleProlog +
+    s"""SELECT doc_id, round(score, 4) AS score FROM (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |        tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE term IN ${sqlList(Seq("spark", "dup", "window"))}
+       |  GROUP BY tf.doc_id)
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  def bm25And(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("merge", "filter"), MatchMode.All, ScoreMode.Bm25())
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+
+  val bm25AndSql: String = OracleProlog +
+    s"""SELECT doc_id, round(score, 4) AS score FROM (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |        tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score,
+       |    count(*) AS nt
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE term IN ${sqlList(Seq("merge", "filter"))}
+       |  GROUP BY tf.doc_id) WHERE nt = 2
+       |ORDER BY doc_id""".stripMargin
+
+  def phrase(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir).searchPhrase("batch batch"))
+
+  val phraseSql: String = OracleProlog +
+    """SELECT a.doc_id, CAST(count(*) AS BIGINT) AS score
+      |FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |WHERE a.term = 'batch' AND b.term = 'batch'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
+  def near(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("key", "order"), MatchMode.Near(2), ScoreMode.Tf))
+
+  val nearSql: String = OracleProlog +
+    s"""SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS score FROM tf t
+       |WHERE t.term IN ('key','order')
+       |GROUP BY t.doc_id
+       |HAVING count(*) = 2 AND EXISTS (
+       |  SELECT 1 FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+       |  WHERE a.doc_id = t.doc_id AND a.term = 'key' AND b.term = 'order'
+       |    AND abs(a.pos - b.pos) <= 2)
+       |ORDER BY t.doc_id""".stripMargin
+
+  def prefix(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val expanded = idx.expandPrefix("s")
+    longScore(idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val prefixSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term LIKE 's%' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def fuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val expanded = idx.expandFuzzy("hashh", maxDistance = 1)
+    longScore(idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val fuzzySql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term IN (SELECT term FROM df WHERE levenshtein(term, 'hashh') <= 1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def regexp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = Tables.documentsIndex(spark, dir)
+    val expanded = idx.terms.where(col("term").rlike("^qu.*y$"))
+      .select("term").as[String].collect().toSeq
+    longScore(idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val regexpSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term IN (SELECT term FROM df WHERE regexp_matches(term, '^qu.*y$'))
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def unsplit(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("dup"), MatchMode.All, ScoreMode.Tf))
+
+  val unsplitSql: String = OracleProlog +
+    """SELECT doc_id, CAST(tf AS BIGINT) AS score FROM tf
+      |WHERE term = 'dup' ORDER BY doc_id""".stripMargin
+
+  /** --adjuster: base AND match, score boosted by +factor*tf for docs also
+    * containing the boost term (proc_select.cpp:3549-3707 semantics). */
+  def adjuster(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val base = idx.searchTerms(Seq("sort", "table"), MatchMode.All, ScoreMode.Tf)
+    val boost = idx.searchTerms(Seq("dup"), MatchMode.All, ScoreMode.Tf)
+      .withColumnRenamed("score", "boost")
+    base.join(boost, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("score") + coalesce(col("boost") * 3.0, lit(0.0))).cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val adjusterSql: String = OracleProlog +
+    s"""SELECT b.doc_id, CAST(b.score + coalesce(3 * a.tf, 0) AS BIGINT) AS score
+       |FROM (SELECT doc_id, sum(tf) AS score FROM tf
+       |      WHERE term IN ('sort','table') GROUP BY doc_id HAVING count(*) = 2) b
+       |LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'dup') a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** match escalation: exact AND finds nothing for truncated tokens ->
+    * escalate to per-token prefix match OR'd (MATCH -> PARTIAL ladder,
+    * grn_ii_sel /root/reference/lib/ii.cpp:15031-15170). */
+  def escalation(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val terms = Seq("windo", "strea")
+    val exact = idx.searchTerms(terms, MatchMode.All, ScoreMode.Tf)
+    val n = exact.limit(1).count()
+    val result =
+      if (n > 0) exact
+      else {
+        val expanded = terms.flatMap(t => idx.expandPrefix(t)).distinct
+        idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
+      }
+    longScore(result)
+  }
+
+  val escalationSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term LIKE 'windo%' OR term LIKE 'strea%'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** GRN_OP_SIMILAR: OR-match on the rarest tokens of a seed document
+    * (grn_ii_similar_search, /root/reference/lib/ii.cpp:12458). */
+  def similar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = Tables.documentsIndex(spark, dir)
+    val seedText = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") === 0L).select("text").as[String].head()
+    val seedTerms = graft.analyzer.Analyzers.bigram.terms(seedText).distinct.toSeq
+    val stats = idx.termStats(seedTerms)
+    val rarest = seedTerms
+      .map(t => (t, stats.get(t).map(_.df).getOrElse(Long.MaxValue)))
+      .sortBy { case (t, d) => (d, t) }.take(5).map(_._1)
+    longScore(idx.searchTerms(rarest, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val similarSql: String = OracleProlog +
+    """, seed AS (SELECT DISTINCT term FROM toks WHERE doc_id = 0),
+      |rare AS (SELECT term FROM seed JOIN df USING (term)
+      |         ORDER BY df, term LIMIT 5)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term IN (SELECT term FROM rare)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** drilldown over the match result: facet matched docs by lang with
+    * count + max score (grn_table_group calc types,
+    * include/groonga/table.h:723-730). */
+  def drilldown(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val matched = idx.searchTerms(Seq("spark", "join"), MatchMode.All, ScoreMode.Tf)
+    matched.join(Tables.table(spark, dir, "documents"), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nsubrecs"), max(col("score")).cast("long").as("max_score"))
+      .orderBy("lang")
+  }
+
+  val drilldownSql: String = OracleProlog +
+    s""", matched AS (
+       |  SELECT doc_id, sum(tf) AS score FROM tf
+       |  WHERE term IN ('spark','join') GROUP BY doc_id HAVING count(*) = 2)
+       |SELECT d.lang, count(*) AS nsubrecs, CAST(max(m.score) AS BIGINT) AS max_score
+       |FROM matched m JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_and_tf" -> andTf,
+    "ft_or_quorum" -> orQuorum,
+    "ft_bm25_topk" -> bm25TopK,
+    "ft_bm25_and" -> bm25And,
+    "ft_phrase" -> phrase,
+    "ft_near" -> near,
+    "ft_prefix" -> prefix,
+    "ft_fuzzy" -> fuzzy,
+    "ft_regexp" -> regexp,
+    "ft_unsplit" -> unsplit,
+    "ft_adjuster" -> adjuster,
+    "ft_escalation" -> escalation,
+    "ft_similar" -> similar,
+    "ft_drilldown" -> drilldown)
+
+  val oracles: Map[String, String] = Map(
+    "ft_and_tf" -> andTfSql,
+    "ft_or_quorum" -> orQuorumSql,
+    "ft_bm25_topk" -> bm25TopKSql,
+    "ft_bm25_and" -> bm25AndSql,
+    "ft_phrase" -> phraseSql,
+    "ft_near" -> nearSql,
+    "ft_prefix" -> prefixSql,
+    "ft_fuzzy" -> fuzzySql,
+    "ft_regexp" -> regexpSql,
+    "ft_unsplit" -> unsplitSql,
+    "ft_adjuster" -> adjusterSql,
+    "ft_escalation" -> escalationSql,
+    "ft_similar" -> similarSql,
+    "ft_drilldown" -> drilldownSql)
+}

@@ -1,0 +1,313 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational correctness-gate queries over the TPC-H-ish tables, covering
+  * groonga's non-fulltext operator surface (SURVEY.md §2.4-2.9): drilldowns
+  * (grn_table_group + calc types), accessor-path joins, sub_filter /
+  * in_values / between selectors, sorts with offset/limit, window functions,
+  * result-set ops, and the scalar function families.
+  *
+  * Money sums use sum(CAST(round(x*100) AS BIGINT)) so aggregation order
+  * cannot perturb the hash (double + is not associative; longs are).
+  */
+object RelationalQueries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  // drilldown with all calc types (grn_table_group MAX/MIN/SUM/MEAN,
+  // include/groonga/table.h:723-730)
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("nsubrecs"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        round(avg(col("l_discount")), 4).as("mean_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS nsubrecs,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  max(l_quantity) AS max_qty,
+      |  min(l_quantity) AS min_qty,
+      |  round(avg(l_discount), 4) AS mean_disc
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // accessor path o_custkey.c_nationkey.n_name = chained N:1 reference
+  // columns (grn_obj_get_accessor, lib/db.c:5403) -> broadcast-able joins
+  def drilldownRef(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nsubrecs"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+      .orderBy("n_name")
+  }
+
+  val drilldownRefSql: String =
+    """SELECT n_name, count(*) AS nsubrecs,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // multi-key sort + offset/limit (grn_table_sort partial top-k, lib/sort.c)
+  def sortTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .offset(5).limit(15)
+
+  val sortTopKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 15 OFFSET 5""".stripMargin
+
+  // window functions: record_number / window_sum / window_rank
+  // (lib/window_functions.c:464-481) — whole-partition windows w/ ordering
+  def windowFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        rank().over(Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))).as("rk"),
+        count(lit(1)).over(wAll).as("wcount"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(wAll).as("wsum_c"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowFnsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |  count(*) OVER (PARTITION BY o_custkey) AS wcount,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey) AS BIGINT) AS wsum_c
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // result-set AND_NOT (left_anti) — customers with orders but none 'F'
+  def setopAndNot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val withOrders = t(spark, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+    val withF = orders.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    withOrders.join(withF, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).orderBy("c_custkey")
+  }
+
+  val setopAndNotSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // sub_filter(ref, expr) semi-join (lib/proc.c:5617)
+  def subFilter(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .where(col("l_quantity") >= 45).select(col("l_suppkey"))
+    t(spark, dir, "supplier")
+      .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name")).orderBy("s_suppkey")
+  }
+
+  val subFilterSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // in_values (lib/proc.c:5643)
+  def inValues(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .where(col("p_brand").isin("Brand#1", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy("p_partkey")
+
+  val inValuesSql: String =
+    """SELECT p_partkey, p_brand, p_size FROM part
+      |WHERE p_brand IN ('Brand#1', 'Brand#3') ORDER BY p_partkey""".stripMargin
+
+  // between() selector with range-index semantics (lib/table_selector.c:1310)
+  def betweenRange(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .orderBy("l_returnflag")
+
+  val betweenRangeSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // string function family (plugins/functions/string.c, lib/proc.c:5630)
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_slice"),
+        upper(col("p_type")).as("type_upper"),
+        regexp_replace(col("p_name"), "a", "@").as("name_sub"))
+      .orderBy("p_partkey")
+
+  val stringFnsSql: String =
+    """SELECT p_partkey, length(p_name) AS name_len,
+      |  substring(p_name, 1, 5) AS name_slice,
+      |  upper(p_type) AS type_upper,
+      |  regexp_replace(p_name, 'a', '@', 'g') AS name_sub
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // time_classify_* family (plugins/functions/time.c)
+  def timeFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        year(col("o_orderdate")).as("y"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n"), min(col("dow")).as("min_dow"))
+      .orderBy("ym")
+
+  val timeFnsSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+      |  min(CAST(dayofweek(o_orderdate) AS INT) + 1) AS min_dow
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // math/number family (plugins/functions/math.c, number.cpp)
+  def mathFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("adisc"),
+        round(col("l_extendedprice"), 1).as("rprice"),
+        floor(col("l_quantity")).cast("long").as("fqty"),
+        greatest(col("l_tax"), col("l_discount")).as("gmax"))
+      .where(col("l_orderkey") <= 100)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mathFnsSql: String =
+    """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS adisc,
+      |  round(l_extendedprice, 1) AS rprice,
+      |  CAST(floor(l_quantity) AS BIGINT) AS fqty,
+      |  greatest(l_tax, l_discount) AS gmax
+      |FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // edit_distance (lib/proc.c grn_proc_init_edit_distance)
+  def editDistance(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), levenshtein(col("p_brand"), lit("Brand#2")).as("dist"))
+      .orderBy("p_partkey")
+
+  val editDistanceSql: String =
+    """SELECT p_partkey, levenshtein(p_brand, 'Brand#2') AS dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // slices: named filtered sub-result with its own agg
+  // (Slice::execute_internal, lib/proc/proc_select.cpp:2119)
+  def slices(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+    val s1 = base.where(col("event_type") === "click")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+    val s2 = base.where(col("value") > 50.0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+    s1.withColumn("slice", lit("clicks"))
+      .unionByName(s2.withColumn("slice", lit("high_value")))
+      .select(col("slice"), col("event_type"), col("n"), col("sum_c"))
+      .orderBy("slice", "event_type")
+  }
+
+  val slicesSql: String =
+    """SELECT * FROM (
+      |  SELECT 'clicks' AS slice, event_type, count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      |  FROM events WHERE event_type = 'click' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'high_value' AS slice, event_type, count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      |  FROM events WHERE value > 50.0 GROUP BY 2)
+      |ORDER BY slice, event_type""".stripMargin
+
+  // dynamic columns (columns[name] stage=filtered) + post_filter
+  def dynamicColumn(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .withColumn("revenue_c",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .where(col("revenue_c") > 5000000L) // post_filter on the dynamic column
+      .select(col("l_orderkey"), col("l_linenumber"), col("revenue_c"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val dynamicColumnSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) > 5000000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // vector column family (plugins/functions/vector.c) over embeddings
+  def vectorFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("vsize"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_el"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 4).as("l2sq"))
+      .orderBy("vec_id")
+
+  val vectorFnsSql: String =
+    """SELECT vec_id, len(embedding) AS vsize,
+      |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_el,
+      |  round(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l2sq
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "drilldown_ref" -> drilldownRef,
+    "sort_topk" -> sortTopK,
+    "window_fns" -> windowFns,
+    "setop_and_not" -> setopAndNot,
+    "sub_filter" -> subFilter,
+    "in_values" -> inValues,
+    "between_range" -> betweenRange,
+    "string_fns" -> stringFns,
+    "time_fns" -> timeFns,
+    "math_fns" -> mathFns,
+    "edit_distance" -> editDistance,
+    "slices" -> slices,
+    "dynamic_column" -> dynamicColumn,
+    "vector_fns" -> vectorFns)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "drilldown_ref" -> drilldownRefSql,
+    "sort_topk" -> sortTopKSql,
+    "window_fns" -> windowFnsSql,
+    "setop_and_not" -> setopAndNotSql,
+    "sub_filter" -> subFilterSql,
+    "in_values" -> inValuesSql,
+    "between_range" -> betweenRangeSql,
+    "string_fns" -> stringFnsSql,
+    "time_fns" -> timeFnsSql,
+    "math_fns" -> mathFnsSql,
+    "edit_distance" -> editDistanceSql,
+    "slices" -> slicesSql,
+    "dynamic_column" -> dynamicColumnSql,
+    "vector_fns" -> vectorFnsSql)
+}
