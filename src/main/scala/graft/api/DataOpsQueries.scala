@@ -1,0 +1,308 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Similarity
+import graft.textops.{Dedup, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal plumbing) as correctness-gate queries. Every step that hashes
+  * uses engine-independent arithmetic (PolyHash / integer lattices), so each
+  * oracle replicates the *same* algorithm in DuckDB — these are exact-match
+  * oracles, not statistical ones.
+  */
+object DataOpsQueries {
+
+  /** shared oracle snippet: char-fold polynomial hash of a string column */
+  private def sqlPolyHash(expr: String, mult: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h * $mult + c) % 1000000007)"
+
+  // ---- dedup ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  def dedupExactNorm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("keep_id")
+
+  val dedupExactNormSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+      |ORDER BY keep_id""".stripMargin
+
+  /** shared oracle CTE: distinct word-3-gram shingles per doc */
+  private val ShingleProlog: String =
+    """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM tl, unnest(range(1, len(toks) - 1)) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)
+      |""".stripMargin
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = 100)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupJaccardSql: String = ShingleProlog +
+    """, common AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+      |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN common USING (shingle)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+      |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m), 4) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rows = 4, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashLshSql: String = ShingleProlog +
+    s""", hh AS (SELECT doc_id, shingle, ${sqlPolyHash("shingle", 31)} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    min(((2 * i + 1) * h + 12345 * i + 7) % 1000000007) AS v
+       |  FROM hh, unnest(range(0, 16)) AS u(i) GROUP BY 1, 2),
+       |bandkey AS (
+       |  SELECT doc_id, CAST(i / 4 AS INT) AS band,
+       |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandkey x JOIN bandkey y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS m
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.table(spark, dir, "documents"), "doc_id", "text", bits = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val dedupSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |th AS (SELECT doc_id, term, tf, ${sqlPolyHash("term", 131)} AS h FROM tf),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(tf * (((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS s
+       |  FROM th, unnest(range(0, 16)) AS u(j) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- similarity search ----
+
+  private def queryVec(spark: SparkSession, dir: String): Array[Float] = {
+    import spark.implicits._
+    Tables.table(spark, dir, "embeddings").where(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+  }
+
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryVec(spark, dir), k = 10, excludeId = Some(0L))
+
+  val annCosineTopKSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+      |     sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+      |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+      |SELECT vec_id, round(cos, 4) AS cos FROM scored
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", dim = 64, planes = 8)
+      .orderBy("vec_id")
+
+  val annLshBucketsSql: String =
+    """WITH dots AS (
+      |  SELECT vec_id, j,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(embedding, range(0, 64)),
+      |      p -> CAST(p[1] AS DOUBLE) *
+      |           CAST(((j * 131071 + p[2] * 524287) % 1000003) % 7 - 3 AS DOUBLE))),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j))
+      |SELECT vec_id,
+      |  CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |FROM dots GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryVec(spark, dir), dim = 64, k = 5, planes = 8)
+
+  val annLshTopKSql: String =
+    """WITH dots AS (
+      |  SELECT vec_id, j,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(embedding, range(0, 64)),
+      |      p -> CAST(p[1] AS DOUBLE) *
+      |           CAST(((j * 131071 + p[2] * 524287) % 1000003) % 7 - 3 AS DOUBLE))),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1),
+      |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cand AS (SELECT b.vec_id FROM buckets b JOIN qb USING (bucket)),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+      |     sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+      |  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+      |SELECT vec_id, round(cos, 4) AS cos FROM scored
+      |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  // ---- text analysis ----
+
+  def langIdQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitCols = markers.map { case (l, ms) =>
+      s"coalesce(sum(tf) FILTER (WHERE term IN ${ms.map(m => s"'$m'").mkString("(", ",", ")")}), 0) AS hits_$l"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN hits_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT d.doc_id,
+       |    $hitCols
+       |  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS lang_pred,
+       |  CAST($best AS BIGINT) AS hits
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
+  def qualityQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qualitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    length(text) AS n_chars
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len
+      |  FROM base)
+      |SELECT doc_id, n_tokens,
+      |  floor(distinct_ratio * 10000) / 10000.0 AS distinct_ratio,
+      |  floor(mean_word_len * 10000) / 10000.0 AS mean_word_len,
+      |  floor((0.5 * distinct_ratio + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      |    + 0.2 * (1.0 - abs(mean_word_len - 5.0) / 5.0)) * 10000) / 10000.0 AS quality
+      |FROM feat ORDER BY doc_id""".stripMargin
+
+  def tokenCountQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+      |  CAST(sum(CAST(ceil(length(t.term) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords
+      |FROM documents d JOIN toks t USING (doc_id)
+      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, ${sqlPolyHash("text", 131)} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal plumbing: opaque binary + typed metadata ----
+
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8")) // opaque bytes
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        length(regexp_replace(col("text"), "[^a-m]", "")).as("am_bytes"))
+      .orderBy("doc_id")
+
+  val mmMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_bytes,
+      |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_byte,
+      |  CAST(length(regexp_replace(text, '[^a-m]', '', 'g')) AS INT) AS am_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_norm" -> dedupExactNorm,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_cosine_topk" -> annCosineTopK,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_lsh_topk" -> annLshTopK,
+    "lang_id" -> langIdQ,
+    "text_quality" -> qualityQ,
+    "token_count" -> tokenCountQ,
+    "doc_fingerprint" -> fingerprintQ,
+    "mm_meta" -> mmMeta)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_exact_norm" -> dedupExactNormSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "ann_cosine_topk" -> annCosineTopKSql,
+    "ann_lsh_buckets" -> annLshBucketsSql,
+    "ann_lsh_topk" -> annLshTopKSql,
+    "lang_id" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> fingerprintSql,
+    "mm_meta" -> mmMetaSql)
+}

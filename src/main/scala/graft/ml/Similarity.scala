@@ -1,0 +1,76 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the exact
+  * baseline — broadcastable query vector, map + TakeOrderedAndProject, no
+  * shuffle of the corpus) and a random-hyperplane LSH bucketing (the scale
+  * path: bucket once, then search only the query's bucket).
+  *
+  * Hyperplanes are deterministic integer lattices (plane(j,i) derives from
+  * (j,i) arithmetic only) so any engine reproduces the buckets exactly.
+  */
+object Similarity {
+
+  /** elementwise dot product of two float vectors cast to double,
+    * left-to-right accumulation (engine-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** exact top-k by cosine to one query vector (ties: smaller id first) */
+  def cosineTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val base = excludeId.fold(vecs)(id => vecs.where(col(idCol) =!= id))
+    base.select(col(idCol).as("vec_id"),
+        cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * integer lattice in {-3..3}. */
+  def planeValue(j: Int): Column => Column = i =>
+    ((lit(j) * 131071 + i * 524287) % 1000003) % 7 - 3
+
+  /** sign-of-dot-product LSH bucket id over `planes` hyperplanes */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      val d = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeValue(j)(i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce[Column](_ + _)
+  }
+
+  /** (vec_id, bucket) for the whole corpus */
+  def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 8): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+
+  /** ANN: top-k by cosine within the query's LSH bucket only */
+  def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    val withBuckets = lshBuckets(vecs, idCol, vecCol, dim, planes)
+    val q = typedLit(query.toSeq)
+    val qBucketDf = vecs.sparkSession.range(1)
+      .select(lshBucket(q, dim, planes).as("bucket"))
+    val cands = withBuckets.join(broadcast(qBucketDf), Seq("bucket"))
+      .join(vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+    cands.select(col("vec_id"), cosine(col("v"), q).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+}

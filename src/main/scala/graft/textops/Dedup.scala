@@ -1,0 +1,133 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All hashing is PolyHash (engine-independent arithmetic, see
+  * graft.functions.PolyHash) so results are reproducible bit-for-bit in any
+  * SQL engine — the DuckDB oracles replicate every step.
+  *
+  * Scale notes (100 TB): every op is a hash-partitioned groupBy/join on a
+  * derived key (text hash / shingle / band key) with map-side combine; no
+  * driver-side state, no O(n^2) step — pair generation is blocked by shared
+  * shingle (df-capped) or shared LSH band.
+  */
+object Dedup {
+  final val P = graft.functions.GraftFunctions.HashMod
+
+  /** exact dedup: group by full text, keep the smallest id.
+    * Output: (keep_id, n_dups) one row per distinct text. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** exact dedup under bag-of-words normalization (sorted token multiset):
+    * catches shuffled copies. */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("k", array_join(array_sort(split(col(textCol), " ")), " "))
+      .groupBy(col("k"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** distinct word n-gram shingles per doc: (id, shingle) */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** exact n-gram Jaccard near-dup pairs: candidates blocked by shared
+    * shingle (df-capped to bound join fanout on boilerplate shingles),
+    * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 100): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+      .where(col("sdf") <= maxShingleDf).select("shingle")
+    val filtered = sh.join(common, Seq("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val a = filtered.select(col("id").as("doc_a"), col("shingle"))
+    val b = filtered.select(col("id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** minhash signatures: (id, minhash array of `numHashes`), from shingle
+    * base hash H via the affine family h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .withColumn("h", shingle_hash(col("shingle")))
+    val mins: Seq[Column] = (0 until numHashes).map { i =>
+      min((lit(2L * i + 1) * col("h") + lit(12345L * i + 7)) % lit(P)).as(s"mh$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** minhash-LSH near-dup candidate pairs, verified by exact Jaccard:
+    * band key = polyhash of the band's minhash values; docs sharing any
+    * band become candidates (bands x rows = numHashes). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rows
+    val mh = minhash(docs, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("key"))
+    }
+    val banded = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        array_join(col("bk.key"), ",").as("key"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
+    // verify candidates with exact jaccard (no df cap here: candidate set is tiny)
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val inter = cands
+      .join(sh.select(col("id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** simhash over word tokens weighted by tf: bit j set iff
+    * sum_terms(tf * sign(bit_j(polyhash(term)))) > 0. `bits` <= 30. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", poly_hash(col("term")))
+    val bitSums: Seq[Column] = (0 until bits).map { j =>
+      sum(col("tf") * (shiftright(col("h"), j) % 2 * 2 - 1)).as(s"s$j")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), sig.as("simhash"))
+  }
+}
