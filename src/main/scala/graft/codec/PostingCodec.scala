@@ -36,14 +36,53 @@ object PostingCodec {
   final val FlagPositions = 2
   final val DenseThreshold = 16
 
-  def encode(
+  /** varbyte-encode one ascending position list as deltas — the per-doc
+    * positions stream unit (map-side pre-encoding for the shuffle). */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val w = new ByteWriter(positions.length + 4)
+    var prev = 0
+    var i = 0
+    while (i < positions.length) {
+      w.writeVarInt(positions(i) - prev); prev = positions(i); i += 1
+    }
+    w.result()
+  }
+
+  /** encode a block whose positions stream is one pre-concatenated blob of
+    * per-doc varbyte deltas (map-side RunBuf output); appended verbatim. */
+  def encodeWithPosBlob(
       docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-      positions: Array[Array[Int]] // null => no positions
+      posBlob: Array[Byte] // null => no positions
+  ): Array[Byte] = {
+    val n = docIds.length
+    require(n > 0)
+    val w = new ByteWriter(n * 4 + 16 + (if (posBlob == null) 0 else posBlob.length))
+    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = posBlob != null)
+    if (posBlob != null) w.writeRaw(posBlob, 0, posBlob.length)
+    w.result()
+  }
+
+  /** encode a block whose positions are already per-doc varbyte streams
+    * (exactly what encodePositions emits); they are appended verbatim. */
+  def encodeWithPosBytes(
+      docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+      posBytes: Array[Array[Byte]] // null => no positions
   ): Array[Byte] = {
     val n = docIds.length
     require(n > 0)
     val w = new ByteWriter(n * 4 + 16)
-    val withPos = positions != null
+    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = posBytes != null)
+    if (posBytes != null) {
+      var i = 0
+      while (i < n) { w.writeRaw(posBytes(i), 0, posBytes(i).length); i += 1 }
+    }
+    w.result()
+  }
+
+  private def writeHeaderAndStreams(
+      w: ByteWriter, docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+      withPos: Boolean): Unit = {
+    val n = docIds.length
     val deltas = new Array[Long](n)
     var i = 1
     var maxDelta = 0L
@@ -73,11 +112,28 @@ object PostingCodec {
     while (i < n) { w.writeVarInt(tfs(i) - 1); i += 1 }
     i = 0
     while (i < n) { w.writeVarInt(dls(i)); i += 1 }
-    if (withPos) {
-      i = 0
+  }
+
+  def encode(
+      docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+      positions: Array[Array[Int]] // null => no positions
+  ): Array[Byte] = {
+    val n = docIds.length
+    require(n > 0)
+    if (positions != null) {
+      var i = 0
+      while (i < n) {
+        require(positions(i).length == tfs(i),
+          s"positions length ${positions(i).length} != tf ${tfs(i)}")
+        i += 1
+      }
+    }
+    val w = new ByteWriter(n * 4 + 16)
+    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = positions != null)
+    if (positions != null) {
+      var i = 0
       while (i < n) {
         val ps = positions(i)
-        require(ps.length == tfs(i), s"positions length ${ps.length} != tf ${tfs(i)}")
         var prev = 0
         var j = 0
         while (j < ps.length) {

@@ -42,6 +42,37 @@ final class ByteWriter(initial: Int = 64) {
   def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
 
+/** growable primitive long array (no boxing on the build hot path) */
+final class LongVec(initial: Int = 8) {
+  private var a = new Array[Long](initial)
+  var length: Int = 0
+  def +=(v: Long): Unit = {
+    if (length == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(length) = v; length += 1
+  }
+  def apply(i: Int): Long = a(i)
+  def head: Long = a(0)
+  def last: Long = a(length - 1)
+  def toArray: Array[Long] = java.util.Arrays.copyOf(a, length)
+  def clear(): Unit = { length = 0 }
+}
+
+/** growable primitive int array (no boxing on the build hot path) */
+final class IntVec(initial: Int = 8) {
+  private var a = new Array[Int](initial)
+  var length: Int = 0
+  def +=(v: Int): Unit = {
+    if (length == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(length) = v; length += 1
+  }
+  def apply(i: Int): Int = a(i)
+  def max: Int = { var m = Int.MinValue; var i = 0; while (i < length) { if (a(i) > m) m = a(i); i += 1 }; m }
+  def min: Int = { var m = Int.MaxValue; var i = 0; while (i < length) { if (a(i) < m) m = a(i); i += 1 }; m }
+  def sumLong: Long = { var s = 0L; var i = 0; while (i < length) { s += a(i); i += 1 }; s }
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, length)
+  def clear(): Unit = { length = 0 }
+}
+
 final class ByteReader(val bytes: Array[Byte]) {
   private var p = 0
   def pos: Int = p

