@@ -181,7 +181,70 @@ object ExtraQueries {
       |  floor(sqrt(lat * lat + lon * lon) * 111.32 * 10000) / 10000.0 AS dist_km
       |FROM pts ORDER BY c_custkey""".stripMargin
 
+  /** query-syntax evaluation: `spark +join -dup` (default-AND, AND-NOT)
+    * through parser + result-set ops (SURVEY §2.2 --query / §2.8). */
+  def querySyntax(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    graft.operators.Select.eval(idx,
+        graft.query.QueryParser.parse("spark +join -dup"), graft.query.ScoreMode.Tf)
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val querySyntaxSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT a.doc_id, CAST(a.tf + b.tf AS BIGINT) AS score
+      |FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') a
+      |JOIN (SELECT doc_id, tf FROM tf WHERE term = 'join') b USING (doc_id)
+      |WHERE a.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** query syntax with OR + phrase: `"batch batch" OR dup` — scores
+    * accumulate across OR legs (OR result-set merge). */
+  def queryOrPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    graft.operators.Select.eval(idx,
+        graft.query.QueryParser.parse("\"batch batch\" OR dup"), graft.query.ScoreMode.Tf)
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val queryOrPhraseSql: String =
+    """WITH tl AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |ptoks AS (
+      |  SELECT doc_id, tp[1] AS term, CAST(tp[2] AS INT) AS pos
+      |  FROM (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS tp FROM tl)),
+      |ph AS (SELECT a.doc_id, count(*) AS s FROM ptoks a
+      |       JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |       WHERE a.term = 'batch' AND b.term = 'batch' GROUP BY 1),
+      |d AS (SELECT doc_id, count(*) AS s FROM ptoks WHERE term = 'dup' GROUP BY 1)
+      |SELECT coalesce(ph.doc_id, d.doc_id) AS doc_id,
+      |  CAST(coalesce(ph.s, 0) + coalesce(d.s, 0) AS BIGINT) AS score
+      |FROM ph FULL OUTER JOIN d ON ph.doc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** full select pipeline: query + sort keys + offset/limit
+    * (grn_table_sort partial top-k + pagination, SURVEY §2.7). */
+  def selectCmd(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    graft.operators.Select.select(idx, graft.operators.Select.Request(
+        query = "spark", score = graft.query.ScoreMode.Tf,
+        sortKeys = Seq(("score", false), ("doc_id", true)), offset = 2, limit = 5))
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+  }
+
+  val selectCmdSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM toks
+      |       WHERE term = 'spark' GROUP BY 1)
+      |SELECT doc_id, score FROM tf
+      |ORDER BY score DESC, doc_id LIMIT 5 OFFSET 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_query_syntax" -> querySyntax,
+    "ft_query_or_phrase" -> queryOrPhrase,
+    "select_cmd" -> selectCmd,
     "tokenize_cmd" -> tokenizeCmd,
     "scorer_expr" -> scorerExpr,
     "highlight" -> highlightQ,
@@ -193,6 +256,9 @@ object ExtraQueries {
     "geo_distance" -> geoDistance)
 
   val oracles: Map[String, String] = Map(
+    "ft_query_syntax" -> querySyntaxSql,
+    "ft_query_or_phrase" -> queryOrPhraseSql,
+    "select_cmd" -> selectCmdSql,
     "tokenize_cmd" -> tokenizeCmdSql,
     "scorer_expr" -> scorerExprSql,
     "highlight" -> highlightSql,

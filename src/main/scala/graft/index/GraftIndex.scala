@@ -22,14 +22,32 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   lazy val meta: IndexMeta =
     SegmentCatalog.readMeta(SegmentCatalog.fileSystem(spark, path), path)
 
-  def postings: DataFrame = spark.read.parquet(s"$path/postings")
-  def terms: DataFrame = spark.read.parquet(s"$path/terms")
-  def docs: DataFrame = spark.read.parquet(s"$path/docs")
+  /** segment dirs: "." is the base build; incremental appends add seg-N
+    * dirs (append-only docIds keep segment doc ranges disjoint) */
+  private def segDirs: Seq[String] = {
+    val segs = if (meta.segments.isEmpty) Seq(".") else meta.segments
+    // base-build manifests list table names; treat those as base-only
+    if (segs.exists(s => s == "postings" || s == "terms" || s == "docs")) Seq(".")
+    else segs
+  }
+  private def tablePaths(table: String): Seq[String] =
+    segDirs.map(s => if (s == ".") s"$path/$table" else s"$path/$s/$table")
+
+  def postings: DataFrame = spark.read.parquet(tablePaths("postings"): _*)
+  def terms: DataFrame = spark.read.parquet(tablePaths("terms"): _*)
+  def docs: DataFrame = spark.read.parquet(tablePaths("docs"): _*)
+
+  /** empty (doc_id, score) result with the canonical schema */
+  def emptyResult: DataFrame = spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
   /** driver-side stats lookup for a small set of query terms (tiny result;
-    * the IN filter prunes parquet row groups). */
+    * the IN filter prunes parquet row groups). Aggregates across segments. */
   def termStats(qterms: Seq[String]): Map[String, TermStatRow] =
-    terms.where($"term".isin(qterms: _*)).as[TermStatRow]
+    terms.where($"term".isin(qterms: _*))
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
+        max($"max_tf").cast("int").as("max_tf"))
+      .as[TermStatRow]
       .collect().map(t => t.term -> t).toMap
 
   /** Tokenize a raw query string with the index's analyzer (GET mode). */

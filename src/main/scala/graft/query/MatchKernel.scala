@@ -129,7 +129,12 @@ object MatchKernel {
     val byTerm = new mutable.HashMap[String, mutable.ArrayBuffer[PostingBlockRow]]()
     rows.foreach { r => byTerm.getOrElseUpdate(r.term, new mutable.ArrayBuffer[PostingBlockRow]()) += r }
     val cursors: Array[TermCursor] = q.terms.flatMap { rt =>
-      byTerm.get(rt.term).map { bs => new TermCursor(rt, bs.sortBy(_.blk).toArray) }
+      // order by doc range (not blk): blocks may come from several segments
+      // of an incrementally-appended index; append-only docIds keep segment
+      // ranges disjoint, so (min_doc, blk) restores one ascending stream
+      byTerm.get(rt.term).map { bs =>
+        new TermCursor(rt, bs.sortBy(b => (b.min_doc, b.blk)).toArray)
+      }
     }
     val results: Iterator[(Long, Double)] = q.mode match {
       case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near =>

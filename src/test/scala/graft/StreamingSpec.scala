@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.WebCorpus
+import graft.index.{GraftIndex, IndexBuilder, IndexConfig}
+import graft.query.{MatchMode, ScoreMode}
+import graft.streaming.IncrementalIndex
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBase = 300
+  private val nMore = 150
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+  private lazy val corpus = (0L until (nBase + nMore)).map(i => i -> WebCorpus.text(i, 42L)._1)
+  private lazy val naive = new NaiveSearch(corpus)
+  private lazy val cfg = IndexConfig(bucketBits = 6)
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private lazy val appendedIndex: GraftIndex = {
+    // base build on the first nBase docs
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", s"$tmp/idx", cfg)
+    // stream the remaining docs in via Structured Streaming (AvailableNow)
+    val morePath = s"$tmp/incoming"
+    WebCorpus.generate(spark, nBase + nMore, 4)
+      .where(col("doc_id") >= nBase)
+      .write.mode("overwrite").parquet(morePath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(morePath).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(morePath)
+    IncrementalIndex.streamAppend(spark, stream, s"$tmp/idx",
+      "doc_id", "text", s"$tmp/checkpoint", cfg)
+    GraftIndex(spark, s"$tmp/idx")
+  }
+
+  test("streamed segments join the index: stats equal a full rebuild") {
+    assert(appendedIndex.meta.nDocs == naive.nDocs)
+    assert(math.abs(appendedIndex.meta.avgdl - naive.avgdl) < 1e-6)
+    assert(appendedIndex.meta.segments.length >= 2, "expected appended segments")
+  }
+
+  test("search spans base + appended segments, scores match naive") {
+    val byDf = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.map(_._1)
+    val terms = Seq(byDf.head, byDf(1))
+    val got = collectScores(
+      appendedIndex.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got == naive.tfScoreAnd(terms))
+    assert(got.keys.exists(_ >= nBase), "appended docs must be searchable")
+    // BM25 uses merged df / avgdl across segments
+    val gotB = collectScores(
+      appendedIndex.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    val wantB = naive.bm25ScoreAnd(terms)
+    assert(gotB.keySet == wantB.keySet)
+    gotB.foreach { case (id, s) => assert(math.abs(s - wantB(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("compaction folds segments, results unchanged") {
+    val byDf = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.map(_._1)
+    val terms = Seq(byDf.head, byDf(1))
+    val before = collectScores(
+      appendedIndex.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    val compacted = IncrementalIndex.compact(spark, s"$tmp/idx", cfg)
+    assert(compacted.meta.segments == Seq("."))
+    val after = collectScores(
+      compacted.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
+    assert(after == before)
+    // phrase positions survive compaction
+    val phrase = collectScores(compacted.searchPhrase("spark fulltext search engine"))
+    val want = naive.phraseMatch("spark fulltext search engine")
+      .map { case (id, n) => id -> n.toDouble }
+    assert(phrase == want)
+  }
+}
