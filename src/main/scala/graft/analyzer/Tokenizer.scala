@@ -42,6 +42,9 @@ trait Tokenizer extends Serializable {
   final def tokenize(raw: String): Array[Token] = tokenize(raw, TokenizeMode.Add)
   /** Just the terms, Add mode — the common indexing path. */
   final def terms(raw: String): Array[String] = tokenize(raw).map(_.term)
+  /** token count only (doc-length stats) — override for an allocation-free
+    * path; must equal tokenize(raw).length */
+  def countTokens(raw: String): Int = tokenize(raw).length
 }
 
 /** N-gram options, semantic counterpart of `grn_ngram_options`
@@ -125,6 +128,37 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
       out(out.length - 1) = last.copy(status = last.status | TokenStatus.Last)
     }
     out.toArray
+  }
+
+  /** allocation-free ADD-mode token count (doc-length stats pass) */
+  override def countTokens(raw: String): Int = {
+    val norm = Normalizer.normalize(raw)
+    val text = norm.text
+    val cls = norm.classes
+    var n = 0
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = cls(i)
+      if (c == CharClass.Blank) i += 1
+      else if (unified(c)) {
+        var j = i + 1
+        while (j < len && cls(j) == c) j += 1
+        if (opts.ignoreBlank) {
+          var k = j
+          while (k < len && (cls(k) == CharClass.Blank || cls(k) == c)) k += 1
+          if (k > j && cls(k - 1) == c) j = k
+        }
+        n += 1
+        i = j
+      } else {
+        var runEnd = i
+        while (runEnd < len && cls(runEnd) != CharClass.Blank && !unified(cls(runEnd))) runEnd += 1
+        n += runEnd - i // stride-1 grams: one token per char start
+        i = runEnd
+      }
+    }
+    n
   }
 }
 

@@ -305,7 +305,7 @@ object IndexBuilder {
         rawDocs.mapPartitions { it =>
           val tokenizer = Analyzers.byName(tokenizerName)
           it.flatMap { case (docId, text) =>
-            val dl = tokenizer.tokenize(if (text == null) "" else text).length
+            val dl = tokenizer.countTokens(if (text == null) "" else text)
             if (dl == 0) None else Some((docId, dl))
           }
         }.toDF("doc_id", "dl")

@@ -79,6 +79,16 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(toks.map(_.term).toSeq == Seq("spark", "engine"))
   }
 
+  test("countTokens equals tokenize().length") {
+    val samples = Seq("", "spark search", "日本語のテスト", "a1!?日本 mixed 42",
+      "ab cd", " spaced   out ", "ＡｂＣ①",
+      graft.corpus.WebCorpus.text(5, 42L)._1)
+    for (s <- samples; t <- Seq(Analyzers.bigram, Analyzers.trigram,
+        Analyzers.bigramSplitSymbolAlpha, Analyzers.bigramIgnoreBlank)) {
+      assert(t.countTokens(s) == t.tokenize(s).length, s"'$s' with ${t.name}")
+    }
+  }
+
   test("bigram equals regex word split on pure ascii alnum text") {
     // the invariant the DuckDB oracle relies on for the documents table
     val s = "the fast key order sort 42 batches"
