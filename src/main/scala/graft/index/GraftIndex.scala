@@ -33,22 +33,35 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   private def tablePaths(table: String): Seq[String] =
     segDirs.map(s => if (s == ".") s"$path/$table" else s"$path/$s/$table")
 
-  def postings: DataFrame = spark.read.parquet(tablePaths("postings"): _*)
-  def terms: DataFrame = spark.read.parquet(tablePaths("terms"): _*)
-  def docs: DataFrame = spark.read.parquet(tablePaths("docs"): _*)
+  // lazy handles: file listing + schema resolution happen once per index
+  // instance, not once per query
+  lazy val postings: DataFrame = spark.read.parquet(tablePaths("postings"): _*)
+  lazy val terms: DataFrame = spark.read.parquet(tablePaths("terms"): _*)
+  lazy val docs: DataFrame = spark.read.parquet(tablePaths("docs"): _*)
 
   /** empty (doc_id, score) result with the canonical schema */
   def emptyResult: DataFrame = spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
+  @transient private lazy val termStatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TermStatRow]]()
+
   /** driver-side stats lookup for a small set of query terms (tiny result;
-    * the IN filter prunes parquet row groups). Aggregates across segments. */
-  def termStats(qterms: Seq[String]): Map[String, TermStatRow] =
-    terms.where($"term".isin(qterms: _*))
-      .groupBy($"term")
-      .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
-        max($"max_tf").cast("int").as("max_tf"))
-      .as[TermStatRow]
-      .collect().map(t => t.term -> t).toMap
+    * the IN filter prunes parquet row groups). Aggregates across segments;
+    * memoized per index instance (term stats are immutable per snapshot). */
+  def termStats(qterms: Seq[String]): Map[String, TermStatRow] = {
+    val missing = qterms.distinct.filterNot(termStatCache.containsKey)
+    if (missing.nonEmpty) {
+      val fetched = terms.where($"term".isin(missing: _*))
+        .groupBy($"term")
+        .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
+          max($"max_tf").cast("int").as("max_tf"))
+        .as[TermStatRow]
+        .collect().map(t => t.term -> t).toMap
+      missing.foreach(t => termStatCache.put(t, fetched.get(t)))
+    }
+    qterms.distinct.flatMap(t =>
+      Option(termStatCache.get(t)).flatten.map(t -> _)).toMap
+  }
 
   /** Tokenize a raw query string with the index's analyzer (GET mode). */
   def analyzeQuery(raw: String): Seq[(String, Int)] =
