@@ -32,13 +32,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- warm-up: gate index build + first-touch parquet reads happen
+    // once here, so per-query numbers measure the queries, not cold I/O.
+    // The build cost is reported separately (gate_index_build JSON field).
+    val gateBuildSec = time {
+      graft.api.Tables.documentsIndex(spark, sfDir)
+      Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")
+        .foreach(t => graft.api.Tables.table(spark, sfDir, t).count())
+    }
+
     // ---- operator queries ----
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // record the failure instead of letting a broken query read as fast
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
@@ -70,6 +87,7 @@ object Bench {
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
       s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
       s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}""")
     spark.stop()

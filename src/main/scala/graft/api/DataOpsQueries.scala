@@ -78,11 +78,13 @@ object DataOpsQueries {
        |  FROM hh, unnest(range(0, 16)) AS u(i) GROUP BY 1, 2),
        |bandkey AS (
        |  SELECT doc_id, CAST(i / 4 AS INT) AS band,
-       |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+       |    list_reduce(list(v ORDER BY i), (a, b) -> a * 31 + b) AS key
        |  FROM mh GROUP BY 1, 2),
+       |small AS (SELECT band, key FROM bandkey GROUP BY 1, 2 HAVING count(*) <= 256),
+       |fb AS (SELECT bandkey.* FROM bandkey JOIN small USING (band, key)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bandkey x JOIN bandkey y
+       |  FROM fb x JOIN fb y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS m

@@ -137,13 +137,8 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM df WHERE levenshtein(term, 'hashh') <= 1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  def regexp(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val idx = Tables.documentsIndex(spark, dir)
-    val expanded = idx.terms.where(col("term").rlike("^qu.*y$"))
-      .select("term").as[String].collect().toSeq
-    longScore(idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf))
-  }
+  def regexp(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir).searchRegexp("^qu.*y$"))
 
   val regexpSql: String = OracleProlog +
     """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
@@ -184,11 +179,16 @@ object FulltextQueries {
   def escalation(spark: SparkSession, dir: String): DataFrame = {
     val idx = Tables.documentsIndex(spark, dir)
     val terms = Seq("windo", "strea")
-    val exact = idx.searchTerms(terms, MatchMode.All, ScoreMode.Tf)
+    // persist the exact leg: the ladder reuses the result set when hits
+    // exist (groonga reuses the result set between escalation rungs) —
+    // limit(1).count() caches the partitions it touches, the final consumer
+    // fills in the rest (no second full match job)
+    val exact = idx.searchTerms(terms, MatchMode.All, ScoreMode.Tf).persist()
     val n = exact.limit(1).count()
     val result =
       if (n > 0) exact
       else {
+        exact.unpersist()
         val expanded = terms.flatMap(t => idx.expandPrefix(t)).distinct
         idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
       }

@@ -63,6 +63,16 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       Option(termStatCache.get(t)).flatten.map(t -> _)).toMap
   }
 
+  /** Position-dependent match modes need an index built withPositions —
+    * fail with a clear error instead of crashing inside the kernel. */
+  private def requirePositionsFor(mode: MatchMode): Unit = mode match {
+    case MatchMode.Phrase | _: MatchMode.Near if !meta.withPositions =>
+      throw new IllegalArgumentException(
+        s"index at $path was built withPositions=false; $mode needs positions " +
+          "(rebuild with IndexConfig(withPositions = true))")
+    case _ =>
+  }
+
   /** Tokenize a raw query string with the index's analyzer (GET mode). */
   def analyzeQuery(raw: String): Seq[(String, Int)] =
     Analyzers.byName(meta.tokenizer).tokenize(raw, TokenizeMode.Get)
@@ -89,6 +99,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       score: ScoreMode = ScoreMode.Tf,
       topK: Int = 0,
       weights: Map[String, Double] = Map.empty): DataFrame = {
+    requirePositionsFor(mode)
     val withPos = qterms.zipWithIndex.map { case (t, i) =>
       (t, i, weights.getOrElse(t, 1.0))
     }
@@ -112,6 +123,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   /** Phrase search from a raw phrase string: query-side tokenize (GET mode)
     * supplies the token offsets used by the adjacency check. */
   def searchPhrase(phrase: String, score: ScoreMode = ScoreMode.Tf, topK: Int = 0): DataFrame = {
+    requirePositionsFor(MatchMode.Phrase)
     val toks = analyzeQuery(phrase)
     if (toks.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
     val stats = termStats(toks.map(_._1).distinct)
@@ -143,6 +155,36 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     pref.where(levenshtein(lit(term), $"term") <= maxDistance)
       .orderBy(desc("df")).limit(maxExpansions)
       .select($"term").as[String].collect().toSeq
+  }
+
+  /** Any+Tf match for an UNBOUNDED term set given as a DataFrame — the
+    * scale path when a dictionary expansion (regexp, loose prefix) exceeds
+    * the driver-side cap: postings ⋈ matching-terms stays distributed, score
+    * = Σ tf. Identical results to searchTerms(expanded, Any, Tf). */
+  def searchTermsTfByJoin(matching: DataFrame): DataFrame = {
+    val joined = postings
+      .join(matching.select(col("term").as("term")).distinct(), Seq("term"))
+      .as[PostingBlockRow]
+    joined.flatMap { b =>
+      val d = graft.codec.PostingCodec.decode(b.payload)
+      (0 until d.count).iterator.map(i => (d.docIds(i), d.tfs(i).toLong))
+    }.toDF("doc_id", "tf")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("double").as("score"))
+  }
+
+  /** REGEXP over the dictionary: driver-side expansion capped at
+    * `maxExpansions` terms (a loose pattern over a web-scale lexicon would
+    * otherwise OOM the driver / blow the IN-list); above the cap the match
+    * is computed by a distributed postings⋈terms join instead
+    * (grn_ii_select GRN_OP_REGEXP dict-literal path, lib/ii.cpp:14788). */
+  def searchRegexp(pattern: String, maxExpansions: Int = 1024): DataFrame = {
+    val matching = terms.where($"term".rlike(pattern)).select($"term")
+    val sample = matching.limit(maxExpansions + 1).as[String].collect()
+    if (sample.isEmpty) emptyResult
+    else if (sample.length <= maxExpansions)
+      searchTerms(sample.toSeq, MatchMode.Any, ScoreMode.Tf)
+    else searchTermsTfByJoin(matching)
   }
 
   /** Top-k with the deterministic reference tie order (-_score, _id). */

@@ -97,7 +97,19 @@ object IndexBuilder {
           nBuffered = 0
         }
 
+        private var lastDocId = Long.MinValue
+
         private def consumeDoc(docId: Long, text: String): Unit = {
+          // build() precondition: doc ids unique and ascending within each
+          // input partition (PostingCodec runs are delta-coded). Fail fast
+          // with the offending ids instead of erroring deep in the codec.
+          if (docId <= lastDocId)
+            throw new IllegalArgumentException(
+              s"IndexBuilder.build requires unique ascending doc ids per input " +
+                s"partition; saw $docId after $lastDocId — sort the input " +
+                s"(repartitionByRange(col(idCol)).sortWithinPartitions(idCol)) " +
+                s"or deduplicate ids first")
+          lastDocId = docId
           val toks = tokenizer.tokenize(if (text == null) "" else text)
           tokensAcc.foreach(_.add(toks.length))
           if (toks.isEmpty) return

@@ -88,11 +88,40 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   /** true while block.positions non-empty */
   def hasPositions: Boolean = block.positions.length > 0
 
-  /** Block-max score upper bound for the current block (WAND input):
-    * idf x weight x bm25(maxTf, minDl). */
-  def blockUpperBound(avgdl: Double, k1: Double, b: Double): Double =
-    rt.idf * rt.weight *
-      Bm25.weight(blocks(bi).max_tf.toDouble, blocks(bi).min_dl.toDouble, avgdl, k1, b)
+  // ---- Block-Max WAND bounds (Ding & Suel 2011) ----
+  // ubBlock(i): score upper bound of block i = idf x weight x bm25(maxTf, minDl).
+  // ubSuffix(i): max over blocks i..end — a LIST-remaining bound, valid for
+  // every posting this cursor can still emit. Pivot selection and the
+  // no-pivot early exit must use ubSuffix (a later block can have a higher
+  // max_tf / lower min_dl than the current one); the current-block bound is
+  // only valid as the secondary in-block check.
+  private var ubBlock: Array[Double] = _
+  private var ubSuffix: Array[Double] = _
+
+  def initBounds(avgdl: Double, k1: Double, b: Double): Unit = {
+    ubBlock = new Array[Double](blocks.length)
+    ubSuffix = new Array[Double](blocks.length)
+    var j = 0
+    while (j < blocks.length) {
+      ubBlock(j) = rt.idf * rt.weight *
+        Bm25.weight(blocks(j).max_tf.toDouble, blocks(j).min_dl.toDouble, avgdl, k1, b)
+      j += 1
+    }
+    j = blocks.length - 1
+    var mx = 0.0
+    while (j >= 0) {
+      if (ubBlock(j) > mx) mx = ubBlock(j)
+      ubSuffix(j) = mx
+      j -= 1
+    }
+  }
+
+  /** upper bound over ALL postings this cursor can still emit */
+  def remainingUpperBound: Double = if (exhausted) 0.0 else ubSuffix(bi)
+  /** upper bound over the current block only */
+  def currentBlockUpperBound: Double = ubBlock(bi)
+  /** last docId of the current block (block-skip boundary) */
+  def currentBlockMaxDoc: Long = blocks(bi).max_doc
 
   def next(): Unit = {
     if (exhausted) return
@@ -303,10 +332,26 @@ object MatchKernel {
     if (c != 0) c else java.lang.Long.compare(a._2, b._2)
   }
 
-  /** Block-Max WAND (Ding & Suel 2011 style) over this bucket. */
+  /** Block-Max WAND (Ding & Suel 2011) over this bucket.
+    *
+    * Rank-safety invariants:
+    *  - pivot selection and the no-pivot early exit sum LIST-remaining
+    *    bounds (TermCursor.remainingUpperBound = suffix max over remaining
+    *    blocks), which dominate every posting any cursor can still emit;
+    *  - the current-block bound is used only for the secondary check on an
+    *    aligned pivot doc, and the resulting skip is capped both at the
+    *    aligned cursors' nearest block boundary AND at the next cursor's
+    *    doc — docs inside the skipped range are contained only in the
+    *    aligned cursors' current blocks, whose bound sum failed the
+    *    threshold.
+    * groonga's grn_ii_select scores every match (lib/ii.cpp:13694) — this
+    * must return the identical top-k (IndexSpec rank-identity tests,
+    * including the multi-block skewed-tf one).
+    */
   private def wand(q: ResolvedQuery, cursors: Array[TermCursor]): Iterator[(Long, Double)] = {
     val ScoreMode.Bm25(k1, b) = q.score: @unchecked
     val k = q.topK
+    cursors.foreach(_.initBounds(q.avgdl, k1, b))
     // min-heap of (score, docId): worst of the current top-k on top.
     val heap = mutable.PriorityQueue.empty[(Double, Long)](evictOrder)
     def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._1
@@ -319,23 +364,43 @@ object MatchKernel {
       val t = threshold
       var i = 0
       while (i < sorted.length && pivot < 0) {
-        ubSum += sorted(i).blockUpperBound(q.avgdl, k1, b)
+        ubSum += sorted(i).remainingUpperBound
         if (ubSum > t) pivot = i
         i += 1
       }
-      if (pivot < 0) return heapResults(heap)
+      if (pivot < 0) return heapResults(heap) // suffix bounds cover all remaining postings
       val pivotDoc = sorted(pivot).doc
       if (sorted(0).doc == pivotDoc) {
-        // fully evaluate pivotDoc across ALL cursors positioned on it
-        // (cursors beyond the pivot may also sit on pivotDoc)
-        var s = 0.0
+        // group = every cursor positioned exactly on pivotDoc
+        var g = 0
+        while (g < sorted.length && sorted(g).doc == pivotDoc) g += 1
+        // secondary BMW check with true per-block maxima
+        var blockSum = 0.0
         var j = 0
-        while (j < sorted.length && sorted(j).doc == pivotDoc) {
-          s += score1(q, sorted(j)); sorted(j).next()
-          j += 1
+        while (j < g) { blockSum += sorted(j).currentBlockUpperBound; j += 1 }
+        if (blockSum > t) {
+          // fully evaluate pivotDoc across the aligned group
+          var s = 0.0
+          j = 0
+          while (j < g) { s += score1(q, sorted(j)); sorted(j).next(); j += 1 }
+          if (heap.size < k) heap.enqueue((s, pivotDoc))
+          else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, pivotDoc)) }
+        } else {
+          // skip: docs up to min(group block boundary, next cursor's doc)
+          // are scored only by the group's current blocks, whose bound sum
+          // failed the threshold
+          var d = Long.MaxValue
+          j = 0
+          while (j < g) {
+            val m = sorted(j).currentBlockMaxDoc
+            if (m < d) d = m
+            j += 1
+          }
+          val nextDoc = if (g < sorted.length) sorted(g).doc else Long.MaxValue
+          val target = math.max(pivotDoc + 1, math.min(safeInc(d), nextDoc))
+          j = 0
+          while (j < g) { sorted(j).advanceTo(target); j += 1 }
         }
-        if (heap.size < k) heap.enqueue((s, pivotDoc))
-        else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, pivotDoc)) }
         live.filterInPlace(!_.exhausted)
       } else {
         // advance the leading cursors to the pivot
@@ -346,6 +411,8 @@ object MatchKernel {
     }
     heapResults(heap)
   }
+
+  private def safeInc(x: Long): Long = if (x == Long.MaxValue) x else x + 1
 
   private def heapResults(heap: mutable.PriorityQueue[(Double, Long)]): Iterator[(Long, Double)] =
     heap.toArray.iterator.map { case (s, d) => (d, s) }

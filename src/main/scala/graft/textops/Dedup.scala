@@ -35,13 +35,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** distinct word n-gram shingles per doc: (id, shingle) */
+  /** distinct word n-gram shingles per doc: (id, shingle). Docs shorter than
+    * `n` tokens yield no shingles (guarded: sequence(0, size-n) would emit a
+    * descending range and slice() would throw for them). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
     docs
       .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))).as("shingle"))
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+          .otherwise(array())).as("shingle"))
       .distinct()
   }
 
@@ -62,60 +66,84 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
       .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // pair set is tiny; materialize so the shingle cache can be released
+      .localCheckpoint()
+    sh.unpersist()
+    result
   }
 
-  /** minhash signatures: (id, minhash array of `numHashes`), from shingle
-    * base hash H via the affine family h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
-  def minhash(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("h", shingle_hash(col("shingle")))
+  /** minhash aggregation over a hashed-shingle DF (id, h):
+    * h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
+  private def minhashAgg(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins: Seq[Column] = (0 until numHashes).map { i =>
       min((lit(2L * i + 1) * col("h") + lit(12345L * i + 7)) % lit(P)).as(s"mh$i")
     }
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** minhash-LSH near-dup candidate pairs, verified by exact Jaccard:
-    * band key = polyhash of the band's minhash values; docs sharing any
-    * band become candidates (bands x rows = numHashes). */
+  /** minhash signatures: (id, mh0..mh{numHashes-1}), from shingle base hash
+    * H via the affine family h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16): DataFrame =
+    minhashAgg(
+      shingles(docs, idCol, textCol, n).withColumn("h", shingle_hash(col("shingle"))),
+      numHashes)
+
+  /** minhash-LSH near-dup candidate pairs, verified by exact Jaccard.
+    *
+    * Scale shape: ONE persisted shingle DF feeds both the signature pass and
+    * the verification join; band keys are a single long (arithmetic fold of
+    * the band's minhash values, no string building in the shuffle); band
+    * buckets larger than `maxBandDf` members are dropped before the
+    * self-join (a boilerplate-heavy band key would otherwise go O(m²) —
+    * mirror of jaccardPairs' maxShingleDf cap); verification joins on
+    * (doc, shingle) composite keys, never a per-pair shingle cross product.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
+      maxBandDf: Int = 256): DataFrame = {
     val numHashes = bands * rows
-    val mh = minhash(docs, idCol, textCol, n, numHashes)
+    val sh = shingles(docs, idCol, textCol, n).persist()
+    val mh = minhashAgg(sh.withColumn("h", shingle_hash(col("shingle"))), numHashes)
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array((0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("key"))
+      val key = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+        .reduceLeft((a, c) => a * lit(31L) + c) // values < P=1e9+7: fits a long
+      struct(lit(b).as("band"), key.as("key"))
     }
-    // persisted: the banded signature table is both sides of the self-join
     val banded = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"),
-        array_join(col("bk.key"), ",").as("key"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist()
-    val cands = banded.as("x").join(banded.as("y"),
+    val small = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bdf")).where(col("bdf") <= maxBandDf)
+      .select("band", "key")
+    val f = banded.join(small, Seq("band", "key"))
+    val cands = f.as("x").join(f.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
-    // verify candidates with exact jaccard (no df cap here: candidate set is tiny)
-    val sh = shingles(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    // |A∩B| per candidate: equi-join on (doc, shingle), no shingle cross join
     val inter = cands
       .join(sh.select(col("id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
-      .where(col("shingle") === col("shingle_b"))
+      .join(sh.select(col("id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
       .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // pair set is tiny; materialize so both caches can be released
+      .localCheckpoint()
+    banded.unpersist()
+    sh.unpersist()
+    result
   }
 
   /** simhash over word tokens weighted by tf: bit j set iff

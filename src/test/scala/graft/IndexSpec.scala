@@ -120,6 +120,87 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND rank-identity under multi-block skewed tf (late blocks win)") {
+    // Adversarial layout for the Block-Max WAND bounds: one bucket
+    // (bucketBits=30), head term spanning ~6 blocks of 128 postings, with
+    // LOW tf in early blocks and HIGH tf only in the last blocks. A WAND
+    // that uses the current block's bound for pivoting/early-exit fills the
+    // heap from early blocks and then terminates before reaching the
+    // high-tf docs at the tail — rank-identity catches that.
+    import spark.implicits._
+    val n = 700
+    // dl is equalized (~52 tokens) with per-doc unique filler so BM25's
+    // length penalty can't mask the tf skew: late docs strictly outscore
+    // early ones on the skew term.
+    val docs = (0L until n).map { i =>
+      val tfA = if (i >= 560) 40 + (i % 7).toInt else 1 + (i % 3).toInt
+      val tfB = if (i % 5 == 0) 1 else 0
+      val sb = new StringBuilder
+      (0 until tfA).foreach(_ => sb.append("skewterma "))
+      (0 until tfB).foreach(_ => sb.append("skewtermb "))
+      (0 until (52 - tfA - tfB)).foreach(j => sb.append(s"f${i}x$j "))
+      (i, sb.toString.trim)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val idx = IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx-skew",
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+
+    def rankIdentical(terms: Seq[String], assertTail: Boolean): Unit = {
+      // oracle: full disjunctive BM25 scoring, no pruning (topK=0 bypasses WAND)
+      val full = idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25())
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      for (k <- Seq(5, 10, 25)) {
+        val want = full.sortBy { case (d, s) => (-s, d) }.take(k).toSeq
+        val got = idx.topK(
+          idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = k), k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_._1) == want.map(_._1), s"top-$k docIds for $terms")
+        got.zip(want).foreach { case ((_, s1), (_, s2)) =>
+          assert(math.abs(s1 - s2) < 1e-9)
+        }
+        // proves the corpus exercises the trap: winners live in LATE blocks,
+        // beyond where a current-block-bound WAND would have terminated
+        if (assertTail)
+          assert(want.take(3).forall(_._1 >= 560), s"top-$k should be tail docs: $want")
+      }
+    }
+    rankIdentical(Seq("skewterma"), assertTail = true)
+    rankIdentical(Seq("skewterma", "skewtermb"), assertTail = false)
+  }
+
+  test("phrase/near on a positions-less index fails fast") {
+    val df = WebCorpus.generate(spark, 50, partitions = 2)
+    val idx = IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx-nopos",
+      cfg.copy(withPositions = false))
+    val e1 = intercept[IllegalArgumentException](idx.searchPhrase("spark fulltext"))
+    assert(e1.getMessage.contains("withPositions"))
+    val e2 = intercept[IllegalArgumentException](
+      idx.searchTerms(Seq(headTerm(0), headTerm(1)), MatchMode.Near(3)))
+    assert(e2.getMessage.contains("withPositions"))
+    // AND/OR still fine without positions
+    assert(idx.searchTerms(Seq(headTerm(0)), MatchMode.Any).count() > 0)
+  }
+
+  test("builder fails fast on out-of-order doc ids") {
+    import spark.implicits._
+    val bad = Seq((5L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      IndexBuilder.build(spark, bad, "doc_id", "text", s"$tmp/idx-bad", cfg)
+    }
+    assert(e.getCause != null || e.getMessage.contains("ascending"))
+  }
+
+  test("regexp search matches dictionary expansion on both paths") {
+    val pat = "^" + headTerm(0).take(2) + ".*"
+    val viaKernel = collectScores(index.searchRegexp(pat, maxExpansions = 10000))
+    val viaJoin = collectScores(
+      index.searchTermsTfByJoin(
+        index.terms.where(org.apache.spark.sql.functions.col("term").rlike(pat))))
+    assert(viaKernel.nonEmpty)
+    assert(viaKernel == viaJoin)
+  }
+
   test("prefix expansion finds dictionary terms") {
     val prefix = headTerm(0).take(2)
     val exp = index.expandPrefix(prefix)
