@@ -23,6 +23,13 @@ object CharClass {
   */
 final case class Normalized(text: String, classes: Array[Byte])
 
+/** Normalized text with a per-normalized-char mapping back to source char
+  * offsets — the role of groonga's normalizer `checks` array
+  * (/root/reference/lib/normalizer.c offset bookkeeping). `srcStart(i)`/
+  * `srcEnd(i)` bound the raw chars that produced normalized char i. */
+final case class NormalizedWithOffsets(
+    text: String, classes: Array[Byte], srcStart: Array[Int], srcEnd: Array[Int])
+
 /** Unicode NFKC + case-fold normalizer.
   *
   * Semantic counterpart of groonga's `NormalizerNFKC*` family
@@ -83,5 +90,54 @@ object Normalizer {
       }
     }
     Normalized(lowered, classes)
+  }
+
+  /** Offset-tracking variant for highlight/snippet: NFKC is applied PER
+    * CODE POINT (compatibility mappings like full-width→ASCII, ligature
+    * expansion, and lowercasing are per-codepoint, so offsets stay exact
+    * for them; cross-codepoint composition — e.g. e + combining acute —
+    * is not re-composed here, unlike normalize()). Offsets are char
+    * indices into the raw string. */
+  def normalizeWithOffsets(raw: String): NormalizedWithOffsets = {
+    if (raw == null || raw.isEmpty)
+      return NormalizedWithOffsets("", Array.emptyByteArray,
+        Array.emptyIntArray, Array.emptyIntArray)
+    val sb = new java.lang.StringBuilder(raw.length)
+    val starts = new graft.codec.IntVec(raw.length)
+    val ends = new graft.codec.IntVec(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      val cc = Character.charCount(cp)
+      val piece = new String(Character.toChars(cp))
+      val norm = (
+        if (java.text.Normalizer.isNormalized(piece, java.text.Normalizer.Form.NFKC)) piece
+        else java.text.Normalizer.normalize(piece, java.text.Normalizer.Form.NFKC)
+      ).toLowerCase(java.util.Locale.ROOT)
+      var k = 0
+      while (k < norm.length) {
+        sb.append(norm.charAt(k))
+        starts += i
+        ends += i + cc
+        k += 1
+      }
+      i += cc
+    }
+    val text = sb.toString
+    val classes = new Array[Byte](text.length)
+    var j = 0
+    while (j < text.length) {
+      val c = text.charAt(j)
+      if (Character.isHighSurrogate(c) && j + 1 < text.length &&
+          Character.isLowSurrogate(text.charAt(j + 1))) {
+        val cls = classify(text.codePointAt(j))
+        classes(j) = cls; classes(j + 1) = cls
+        j += 2
+      } else {
+        classes(j) = classify(c)
+        j += 1
+      }
+    }
+    NormalizedWithOffsets(text, classes, starts.toArray, ends.toArray)
   }
 }

@@ -36,9 +36,17 @@ object TokenizeMode {
   case object Get extends TokenizeMode
 }
 
+/** A token with source-char offsets (highlight/snippet input): term at
+  * normalized position `pos`, produced by raw chars [start, end). */
+final case class OffsetToken(term: String, pos: Int, start: Int, end: Int)
+
 trait Tokenizer extends Serializable {
   def name: String
   def tokenize(raw: String, mode: TokenizeMode): Array[Token]
+  /** ADD-mode tokens with raw-string char offsets (for position-driven
+    * highlight/snippet). Term/pos sequence MUST equal tokenize(raw). */
+  def tokenizeWithOffsets(raw: String): Array[OffsetToken] =
+    throw new UnsupportedOperationException(s"$name: offset tokenization not supported")
   final def tokenize(raw: String): Array[Token] = tokenize(raw, TokenizeMode.Add)
   /** Just the terms, Add mode — the common indexing path. */
   final def terms(raw: String): Array[String] = tokenize(raw).map(_.term)
@@ -126,6 +134,51 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
     if (out.nonEmpty) {
       val last = out(out.length - 1)
       out(out.length - 1) = last.copy(status = last.status | TokenStatus.Last)
+    }
+    out.toArray
+  }
+
+  /** ADD-mode tokenize carrying raw-char offsets — same walk as tokenize()
+    * over the offset-tracking normalizer (TokenizerSpec asserts the
+    * term/pos sequences stay identical). */
+  override def tokenizeWithOffsets(raw: String): Array[OffsetToken] = {
+    val norm = Normalizer.normalizeWithOffsets(raw)
+    val text = norm.text
+    val cls = norm.classes
+    val out = new ArrayBuffer[OffsetToken](math.max(8, text.length / 4))
+    var pos = 0
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = cls(i)
+      if (c == CharClass.Blank) {
+        i += 1
+      } else if (unified(c)) {
+        var j = i + 1
+        while (j < len && cls(j) == c) j += 1
+        if (opts.ignoreBlank) {
+          var k = j
+          while (k < len && (cls(k) == CharClass.Blank || cls(k) == c)) k += 1
+          if (k > j && cls(k - 1) == c) j = k
+        }
+        val term =
+          if (opts.ignoreBlank) text.substring(i, j).filterNot(ch => Character.isWhitespace(ch))
+          else text.substring(i, j)
+        out += OffsetToken(term, pos, norm.srcStart(i), norm.srcEnd(j - 1))
+        pos += 1
+        i = j
+      } else {
+        var runEnd = i
+        while (runEnd < len && cls(runEnd) != CharClass.Blank && !unified(cls(runEnd))) runEnd += 1
+        var s = i
+        while (s < runEnd) {
+          val glen = math.min(opts.n, runEnd - s)
+          out += OffsetToken(text.substring(s, s + glen), pos,
+            norm.srcStart(s), norm.srcEnd(s + glen - 1))
+          s += 1; pos += 1 // ADD mode: stride 1
+        }
+        i = runEnd
+      }
     }
     out.toArray
   }

@@ -53,35 +53,37 @@ object ExtraQueries {
       |SELECT doc_id, floor((tf * 2 + dl * 0.1) * 10000) / 10000.0 AS score2
       |FROM tf JOIN dl USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  /** highlight_html-style term markup over matched docs
-    * (lib/proc/proc_highlight.c / lib/highlighter.c). */
+  /** multi-term position-driven highlight: tokens matched in normalized
+    * lexicon space, tags inserted at token source offsets
+    * (lib/proc/proc_highlight.c / lib/highlighter.c). The oracle's
+    * word-boundary regex is equivalent ONLY because this corpus is plain
+    * [a-z0-9 ] — the Spark side uses the analyzer's offsets and also
+    * handles normalization + overlapping-gram merging (HighlightSpec). */
   def highlightQ(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
-      .where(col("text").rlike("\\bspark\\b"))
-      .select(col("doc_id"),
-        regexp_replace(col("text"), "\\bspark\\b", "<em>spark</em>").as("highlighted"))
+    graft.operators.Highlighter.highlightColumn(
+        Tables.table(spark, dir, "documents"), "doc_id", "text",
+        "TokenBigram", Set("spark", "join"))
       .orderBy("doc_id")
 
   val highlightSql: String =
     """SELECT doc_id,
-      |  regexp_replace(text, '\bspark\b', '<em>spark</em>', 'g') AS highlighted
-      |FROM documents WHERE regexp_matches(text, '\bspark\b')
+      |  regexp_replace(text, '\b(spark|join)\b', '<em>\0</em>', 'g') AS highlighted
+      |FROM documents WHERE regexp_matches(text, '\b(spark|join)\b')
       |ORDER BY doc_id""".stripMargin
 
-  /** snippet-style context window around the first match
-    * (lib/proc/proc_snippet.c / lib/snip.c). */
+  /** snippet: context window around the FIRST matched token of a multi-term
+    * query, token-offset-driven (lib/proc/proc_snippet.c / lib/snip.c). */
   def snippetQ(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
-      .withColumn("p", instr(col("text"), "vector"))
-      .where(col("p") > 0)
-      .selectExpr("doc_id",
-        "substring(text, greatest(1, p - 15), 40) AS snippet")
+    graft.operators.Highlighter.snippetColumn(
+        Tables.table(spark, dir, "documents"), "doc_id", "text",
+        "TokenBigram", Set("vector", "spark"), before = 15, width = 40)
       .orderBy("doc_id")
 
   val snippetSql: String =
     """SELECT doc_id,
-      |  substring(text, greatest(1, strpos(text, 'vector') - 15), 40) AS snippet
-      |FROM documents WHERE strpos(text, 'vector') > 0
+      |  substring(text, greatest(1,
+      |    length(regexp_extract(text, '^(.*?)\b(vector|spark)\b', 1)) + 1 - 15), 40) AS snippet
+      |FROM documents WHERE regexp_matches(text, '\b(vector|spark)\b')
       |ORDER BY doc_id""".stripMargin
 
   /** in_records(table, ...) — membership with per-column comparison modes

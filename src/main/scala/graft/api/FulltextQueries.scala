@@ -223,6 +223,89 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM rare)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** NEAR_PHRASE: '*NP "batch batch" "spark"' — the 2-gram phrase and the
+    * word within 15 positions (263 reference tests under
+    * test/command/suite/select/query/ near_phrase). Score = Σ phrase
+    * occurrence counts per doc. */
+  def nearPhrase(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchNearPhrase(Seq("batch batch", "spark"), maxInterval = 15))
+
+  val nearPhraseSql: String = OracleProlog +
+    """, ph1 AS (
+      |  SELECT a.doc_id, a.pos AS p FROM ptoks a
+      |  JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.term = 'batch' AND b.term = 'batch'),
+      |ph2 AS (SELECT doc_id, pos AS p FROM ptoks WHERE term = 'spark'),
+      |m AS (SELECT DISTINCT p1.doc_id FROM ph1 p1
+      |      JOIN ph2 p2 ON p1.doc_id = p2.doc_id AND abs(p1.p - p2.p) <= 15),
+      |c1 AS (SELECT doc_id, count(*) AS n FROM ph1 GROUP BY 1),
+      |c2 AS (SELECT doc_id, count(*) AS n FROM ph2 GROUP BY 1)
+      |SELECT m.doc_id, CAST(c1.n + c2.n AS BIGINT) AS score
+      |FROM m JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
+
+  /** ORDERED_NEAR_PHRASE: '*ONP "spark" "join"' — 'join' after 'spark'
+    * within 6 positions. */
+  def orderedNearPhrase(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchNearPhrase(Seq("spark", "join"), maxInterval = 6, ordered = true))
+
+  val orderedNearPhraseSql: String = OracleProlog +
+    """, ph1 AS (SELECT doc_id, pos AS p FROM ptoks WHERE term = 'spark'),
+      |ph2 AS (SELECT doc_id, pos AS p FROM ptoks WHERE term = 'join'),
+      |m AS (SELECT DISTINCT p1.doc_id FROM ph1 p1
+      |      JOIN ph2 p2 ON p1.doc_id = p2.doc_id
+      |        AND p2.p > p1.p AND p2.p - p1.p <= 6),
+      |c1 AS (SELECT doc_id, count(*) AS n FROM ph1 GROUP BY 1),
+      |c2 AS (SELECT doc_id, count(*) AS n FROM ph2 GROUP BY 1)
+      |SELECT m.doc_id, CAST(c1.n + c2.n AS BIGINT) AS score
+      |FROM m JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
+
+  /** weighted multi-column match — `--match_columns "title * 10 || text"`
+    * over the sectioned (sid-carrying) index: score = 10*tf_title + tf_text,
+    * match if the term occurs in either section
+    * (/root/reference/lib/ii.cpp:13694-13696 weighted scoring; 81 reference
+    * tests under test/command/suite/select/match_columns/). */
+  def matchColumns(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsSectionedIndex(spark, dir)
+    longScore(idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf,
+      sectionWeights = Map("title" -> 10.0, "text" -> 1.0)))
+  }
+
+  val matchColumnsSql: String = OracleProlog +
+    """, ttf AS (
+      |  SELECT doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(toks[1:5]) AS term FROM tl)
+      |  WHERE term = 'spark' GROUP BY 1),
+      |btf AS (SELECT doc_id, tf FROM tf WHERE term = 'spark')
+      |SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+      |  CAST(coalesce(10 * t.tf, 0) + coalesce(b.tf, 0) AS BIGINT) AS score
+      |FROM ttf t FULL OUTER JOIN btf b ON t.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** conjunctive weighted match_columns: both terms required (in either
+    * section), per-term score summed with section weights. */
+  def matchColumnsAnd(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsSectionedIndex(spark, dir)
+    longScore(idx.searchTerms(Seq("spark", "join"), MatchMode.All, ScoreMode.Tf,
+      sectionWeights = Map("title" -> 10.0, "text" -> 1.0)))
+  }
+
+  val matchColumnsAndSql: String = OracleProlog +
+    """, ttf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(toks[1:5]) AS term FROM tl)
+      |  WHERE term IN ('spark','join') GROUP BY 1, 2),
+      |btf AS (SELECT doc_id, term, tf FROM tf WHERE term IN ('spark','join')),
+      |per_term AS (
+      |  SELECT b.doc_id, b.term, coalesce(10 * t.tf, 0) + b.tf AS s
+      |  FROM btf b LEFT JOIN ttf t ON b.doc_id = t.doc_id AND b.term = t.term)
+      |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+      |FROM per_term GROUP BY doc_id HAVING count(*) = 2
+      |ORDER BY doc_id""".stripMargin
+
   /** drilldown over the match result: facet matched docs by lang with
     * count + max score (grn_table_group calc types,
     * include/groonga/table.h:723-730). */
@@ -257,7 +340,11 @@ object FulltextQueries {
     "ft_adjuster" -> adjuster,
     "ft_escalation" -> escalation,
     "ft_similar" -> similar,
-    "ft_drilldown" -> drilldown)
+    "ft_drilldown" -> drilldown,
+    "ft_match_columns" -> matchColumns,
+    "ft_match_columns_and" -> matchColumnsAnd,
+    "ft_near_phrase" -> nearPhrase,
+    "ft_ordered_near_phrase" -> orderedNearPhrase)
 
   val oracles: Map[String, String] = Map(
     "ft_and_tf" -> andTfSql,
@@ -273,5 +360,9 @@ object FulltextQueries {
     "ft_adjuster" -> adjusterSql,
     "ft_escalation" -> escalationSql,
     "ft_similar" -> similarSql,
-    "ft_drilldown" -> drilldownSql)
+    "ft_drilldown" -> drilldownSql,
+    "ft_match_columns" -> matchColumnsSql,
+    "ft_match_columns_and" -> matchColumnsAndSql,
+    "ft_near_phrase" -> nearPhraseSql,
+    "ft_ordered_near_phrase" -> orderedNearPhraseSql)
 }

@@ -22,4 +22,19 @@ object Tables {
         "doc_id", "text", out, IndexConfig(tokenizer = "TokenBigram"))
     })
   }
+
+  /** Two-column sectioned index (title = first 5 whitespace tokens of text,
+    * derived deterministically; body = full text) — the match_columns
+    * "title * W || text" surface. */
+  def documentsSectionedIndex(spark: SparkSession, sfDir: String): GraftIndex = {
+    import org.apache.spark.sql.functions._
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "-sect"
+    cache.computeIfAbsent(key, { _ =>
+      val out = s"/tmp/graft-cache/$key/documents-idx"
+      val docs = table(spark, sfDir, "documents")
+        .withColumn("title", array_join(slice(split(col("text"), " "), 1, 5), " "))
+      IndexBuilder.buildSectioned(spark, docs, "doc_id", Seq("title", "text"),
+        out, IndexConfig(tokenizer = "TokenBigram"))
+    })
+  }
 }

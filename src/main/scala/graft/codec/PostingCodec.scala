@@ -10,7 +10,13 @@ final case class DecodedBlock(
     docIds: Array[Long],
     tfs: Array[Int],
     dls: Array[Int],
-    positions: Array[Int] // empty when the block was encoded without positions
+    positions: Array[Int], // empty when the block was encoded without positions
+    /** section id per posting (1-based); empty when the index has no
+      * sections. With sections a "posting" is one (doc, sid) pair and
+      * docIds may repeat for consecutive sids of the same doc — the
+      * element layout of groonga's WITH_SECTION postings
+      * (rid, sid, tf, pos..., /root/reference/lib/grn_ii.h:45-46). */
+    sids: Array[Int] = Array.emptyIntArray
 ) {
   def count: Int = docIds.length
   def posOffset(i: Int): Int = {
@@ -34,6 +40,11 @@ final case class DecodedBlock(
 object PostingCodec {
   final val FlagPackedDocs = 1
   final val FlagPositions = 2
+  /** postings carry a section-id stream; docId gaps may be 0 (same doc,
+    * next section) — groonga packs (rid_gap << sid_bits)|(sid-1)
+    * (/root/reference/lib/ii.cpp:16859); we keep sid as its own varint
+    * stream so the docId stream stays bit-packable */
+  final val FlagSections = 4
   final val DenseThreshold = 16
 
   /** varbyte-encode one ascending position list as deltas — the per-doc
@@ -52,12 +63,13 @@ object PostingCodec {
     * per-doc varbyte deltas (map-side RunBuf output); appended verbatim. */
   def encodeWithPosBlob(
       docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-      posBlob: Array[Byte] // null => no positions
+      posBlob: Array[Byte], // null => no positions
+      sids: Array[Int] = null // null => no sections
   ): Array[Byte] = {
     val n = docIds.length
     require(n > 0)
     val w = new ByteWriter(n * 4 + 16 + (if (posBlob == null) 0 else posBlob.length))
-    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = posBlob != null)
+    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = posBlob != null, sids = sids)
     if (posBlob != null) w.writeRaw(posBlob, 0, posBlob.length)
     w.result()
   }
@@ -81,14 +93,20 @@ object PostingCodec {
 
   private def writeHeaderAndStreams(
       w: ByteWriter, docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-      withPos: Boolean): Unit = {
+      withPos: Boolean, sids: Array[Int] = null): Unit = {
     val n = docIds.length
+    val withSids = sids != null
+    if (withSids) require(sids.length == n, "sids length != postings")
     val deltas = new Array[Long](n)
     var i = 1
     var maxDelta = 0L
     while (i < n) {
       val d = docIds(i) - docIds(i - 1)
-      require(d > 0, s"docIds must be strictly ascending: ${docIds(i - 1)} -> ${docIds(i)}")
+      if (withSids)
+        require(d > 0 || (d == 0 && sids(i) > sids(i - 1)),
+          s"postings must ascend by (doc, sid): ${docIds(i - 1)} -> ${docIds(i)}")
+      else
+        require(d > 0, s"docIds must be strictly ascending: ${docIds(i - 1)} -> ${docIds(i)}")
       deltas(i) = d
       if (d > maxDelta) maxDelta = d
       i += 1
@@ -97,6 +115,7 @@ object PostingCodec {
     var flags = 0
     if (packed) flags |= FlagPackedDocs
     if (withPos) flags |= FlagPositions
+    if (withSids) flags |= FlagSections
     w.writeByte(flags)
     w.writeVarInt(n)
     w.writeVarLong(docIds(0))
@@ -108,6 +127,10 @@ object PostingCodec {
       i = 1
       while (i < n) { w.writeVarLong(deltas(i)); i += 1 }
     }
+    if (withSids) {
+      i = 0
+      while (i < n) { w.writeVarInt(sids(i) - 1); i += 1 }
+    }
     i = 0
     while (i < n) { w.writeVarInt(tfs(i) - 1); i += 1 }
     i = 0
@@ -116,7 +139,8 @@ object PostingCodec {
 
   def encode(
       docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-      positions: Array[Array[Int]] // null => no positions
+      positions: Array[Array[Int]], // null => no positions
+      sids: Array[Int] = null // null => no sections
   ): Array[Byte] = {
     val n = docIds.length
     require(n > 0)
@@ -129,7 +153,7 @@ object PostingCodec {
       }
     }
     val w = new ByteWriter(n * 4 + 16)
-    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = positions != null)
+    writeHeaderAndStreams(w, docIds, tfs, dls, withPos = positions != null, sids = sids)
     if (positions != null) {
       var i = 0
       while (i < n) {
@@ -161,6 +185,13 @@ object PostingCodec {
       var i = 1
       while (i < n) { docIds(i) = docIds(i - 1) + r.readVarLong(); i += 1 }
     }
+    val sids =
+      if ((flags & FlagSections) != 0) {
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) { out(j) = r.readVarInt() + 1; j += 1 }
+        out
+      } else Array.emptyIntArray
     val tfs = new Array[Int](n)
     var i = 0
     var totalTf = 0
@@ -181,6 +212,6 @@ object PostingCodec {
         }
         out
       } else Array.emptyIntArray
-    DecodedBlock(docIds, tfs, dls, positions)
+    DecodedBlock(docIds, tfs, dls, positions, sids)
   }
 }

@@ -66,7 +66,8 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   /** Position-dependent match modes need an index built withPositions —
     * fail with a clear error instead of crashing inside the kernel. */
   private def requirePositionsFor(mode: MatchMode): Unit = mode match {
-    case MatchMode.Phrase | _: MatchMode.Near if !meta.withPositions =>
+    case MatchMode.Phrase | _: MatchMode.Near | _: MatchMode.NearPhrase
+        if !meta.withPositions =>
       throw new IllegalArgumentException(
         s"index at $path was built withPositions=false; $mode needs positions " +
           "(rebuild with IndexConfig(withPositions = true))")
@@ -78,27 +79,39 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     Analyzers.byName(meta.tokenizer).tokenize(raw, TokenizeMode.Get)
       .map(t => (t.term, t.pos)).toSeq
 
+  /** map column-name→weight into the sid-indexed array the kernel uses */
+  private def resolveSectionWeights(w: Map[String, Double]): Array[Double] =
+    if (w.isEmpty || meta.sections.isEmpty) Array.emptyDoubleArray
+    else meta.sections.map(c => w.getOrElse(c, 1.0)).toArray
+
   private def resolve(
       termsWithPos: Seq[(String, Int, Double)],
       mode: MatchMode,
       score: ScoreMode,
-      topK: Int): ResolvedQuery = {
+      topK: Int,
+      sectionWeights: Map[String, Double] = Map.empty): ResolvedQuery = {
     val stats = termStats(termsWithPos.map(_._1).distinct)
     val rts = termsWithPos.map { case (t, qpos, w) =>
       val st = stats.get(t)
       ResolvedTerm(t, st.map(_.df).getOrElse(0L),
         Bm25.idf(meta.nDocs, st.map(_.df).getOrElse(0L)), w, qpos)
     }
-    ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK)
+    ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
+      sectionWeights = resolveSectionWeights(sectionWeights),
+      sectioned = meta.sections.nonEmpty)
   }
 
-  /** Core search: (doc_id, score) matches for the given terms. */
+  /** Core search: (doc_id, score) matches for the given terms.
+    * `sectionWeights` keys are indexed column names (match_columns
+    * "title * 10 || body" → Map("title" -> 10.0)); ignored for
+    * single-column indexes. */
   def searchTerms(
       qterms: Seq[String],
       mode: MatchMode = MatchMode.All,
       score: ScoreMode = ScoreMode.Tf,
       topK: Int = 0,
-      weights: Map[String, Double] = Map.empty): DataFrame = {
+      weights: Map[String, Double] = Map.empty,
+      sectionWeights: Map[String, Double] = Map.empty): DataFrame = {
     requirePositionsFor(mode)
     val withPos = qterms.zipWithIndex.map { case (t, i) =>
       (t, i, weights.getOrElse(t, 1.0))
@@ -113,7 +126,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     }
     if (requireAll && !allKnown)
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
-    val q = resolve(withPos, mode, score, topK)
+    val q = resolve(withPos, mode, score, topK, sectionWeights)
     val blocks = postings.where($"term".isin(distinctTerms: _*)).as[PostingBlockRow]
     blocks.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
@@ -131,6 +144,37 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
     val q = resolve(toks.map { case (t, p) => (t, p, 1.0) }, MatchMode.Phrase, score, topK)
     val blocks = postings.where($"term".isin(toks.map(_._1).distinct: _*)).as[PostingBlockRow]
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
+      .toDF("doc_id", "score")
+  }
+
+  /** NEAR_PHRASE / ORDERED_NEAR_PHRASE: every phrase occurs and the phrase
+    * START positions fit within `maxInterval` (ordered: ascending in query
+    * order), inside one section (the *NP and *ONP query syntax,
+    * /root/reference/lib/ii.cpp:11210+, 12903). Single-word "phrases" are
+    * allowed and compose with multi-word ones. */
+  def searchNearPhrase(
+      phrases: Seq[String],
+      maxInterval: Int,
+      ordered: Boolean = false,
+      score: ScoreMode = ScoreMode.Tf,
+      topK: Int = 0): DataFrame = {
+    val mode = MatchMode.NearPhrase(maxInterval, ordered)
+    requirePositionsFor(mode)
+    val toksByPhrase = phrases.map(analyzeQuery)
+    if (toksByPhrase.isEmpty || toksByPhrase.exists(_.isEmpty)) return emptyResult
+    val allTerms = toksByPhrase.flatten.map(_._1).distinct
+    val stats = termStats(allTerms)
+    if (!allTerms.forall(stats.contains)) return emptyResult
+    val rts = toksByPhrase.zipWithIndex.flatMap { case (toks, pid) =>
+      toks.map { case (t, p) =>
+        ResolvedTerm(t, stats(t).df, Bm25.idf(meta.nDocs, stats(t).df), 1.0, p, pid)
+      }
+    }
+    val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
+      sectioned = meta.sections.nonEmpty)
+    val blocks = postings.where($"term".isin(allTerms: _*)).as[PostingBlockRow]
     blocks.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
       .toDF("doc_id", "score")

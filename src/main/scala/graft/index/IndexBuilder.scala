@@ -51,18 +51,22 @@ object IndexBuilder {
     val docs = new graft.codec.LongVec(4)
     val tfs = new graft.codec.IntVec(4)
     val dls = new graft.codec.IntVec(4)
+    val sids = new graft.codec.IntVec(4) // used only for sectioned indexes
     val posW = new graft.codec.ByteWriter(16)
   }
 
   /** Tokenize a partition of docs into doc-ordered encoded posting runs.
     * Buffers are keyed by term and flushed at every bucket boundary (so a
-    * run never spans buckets) and at the `spillPostings` threshold. */
+    * run never spans buckets) and at the `spillPostings` threshold.
+    * Each doc is an array of section texts (sid = position + 1); a
+    * single-element array builds the classic sid-less layout. */
   def tokenizeToRuns(
-      docs: Dataset[(Long, String)],
+      docs: Dataset[(Long, Array[String])],
       cfg: IndexConfig,
       bucketBits: Int,
-      tokensAcc: Option[LongAccumulator] = None,
-      runsAcc: Option[LongAccumulator] = None): Dataset[PostingRunRow] = {
+      sectioned: Boolean,
+      tokensAcc: Option[LongAccumulator],
+      runsAcc: Option[LongAccumulator]): Dataset[PostingRunRow] = {
     import docs.sparkSession.implicits._
     val tokenizerName = cfg.tokenizer
     val withPositions = cfg.withPositions
@@ -88,7 +92,8 @@ object IndexBuilder {
             val b = e.getValue
             val payload = PostingCodec.encodeWithPosBlob(
               b.docs.toArray, b.tfs.toArray, b.dls.toArray,
-              if (withPositions) b.posW.result() else null)
+              if (withPositions) b.posW.result() else null,
+              if (sectioned) b.sids.toArray else null)
             out.enqueue(PostingRunRow(e.getKey, bucket, b.docs.head, b.docs.last,
               b.docs.length, b.tfs.max, b.dls.min, b.tfs.sumLong, payload))
           }
@@ -99,25 +104,10 @@ object IndexBuilder {
 
         private var lastDocId = Long.MinValue
 
-        private def consumeDoc(docId: Long, text: String): Unit = {
-          // build() precondition: doc ids unique and ascending within each
-          // input partition (PostingCodec runs are delta-coded). Fail fast
-          // with the offending ids instead of erroring deep in the codec.
-          if (docId <= lastDocId)
-            throw new IllegalArgumentException(
-              s"IndexBuilder.build requires unique ascending doc ids per input " +
-                s"partition; saw $docId after $lastDocId — sort the input " +
-                s"(repartitionByRange(col(idCol)).sortWithinPartitions(idCol)) " +
-                s"or deduplicate ids first")
-          lastDocId = docId
-          val toks = tokenizer.tokenize(if (text == null) "" else text)
-          tokensAcc.foreach(_.add(toks.length))
-          if (toks.isEmpty) return
-          val dl = toks.length
-          val bucket = (docId >> bucketBits).toInt
-          if (bucket != curBucket) { spill(curBucket); curBucket = bucket }
-          // stable sort by term groups a doc's occurrences; positions stay
-          // ascending within each group (no per-term map, no boxing)
+        private def consumeSection(docId: Long, sid: Int, toks: Array[graft.analyzer.Token],
+            dl: Int): Unit = {
+          // stable sort by term groups a section's occurrences; positions
+          // stay ascending within each group (no per-term map, no boxing)
           java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]],
             termOrder.asInstanceOf[java.util.Comparator[AnyRef]])
           var i = 0
@@ -129,6 +119,7 @@ object IndexBuilder {
             var b = bufs.get(term)
             if (b == null) { b = new RunBuf; bufs.put(term, b) }
             b.docs += docId; b.tfs += tf; b.dls += dl
+            if (sectioned) b.sids += sid
             if (withPositions) {
               var prev = 0
               var k = i
@@ -139,13 +130,46 @@ object IndexBuilder {
             nBuffered += 1
             i = j
           }
+        }
+
+        private def consumeDoc(docId: Long, sections: Array[String]): Unit = {
+          // build() precondition: doc ids unique and ascending within each
+          // input partition (PostingCodec runs are delta-coded). Fail fast
+          // with the offending ids instead of erroring deep in the codec.
+          if (docId <= lastDocId)
+            throw new IllegalArgumentException(
+              s"IndexBuilder.build requires unique ascending doc ids per input " +
+                s"partition; saw $docId after $lastDocId — sort the input " +
+                s"(repartitionByRange(col(idCol)).sortWithinPartitions(idCol)) " +
+                s"or deduplicate ids first")
+          lastDocId = docId
+          val toksBySec = new Array[Array[graft.analyzer.Token]](sections.length)
+          var dl = 0
+          var s = 0
+          while (s < sections.length) {
+            val t = sections(s)
+            toksBySec(s) = tokenizer.tokenize(if (t == null) "" else t)
+            dl += toksBySec(s).length
+            s += 1
+          }
+          tokensAcc.foreach(_.add(dl.toLong))
+          if (dl == 0) return
+          val bucket = (docId >> bucketBits).toInt
+          if (bucket != curBucket) { spill(curBucket); curBucket = bucket }
+          // sections consumed in ascending sid keeps every RunBuf ordered
+          // by (doc, sid); dl is the whole-doc token count (BM25 length)
+          s = 0
+          while (s < sections.length) {
+            if (toksBySec(s).nonEmpty) consumeSection(docId, s + 1, toksBySec(s), dl)
+            s += 1
+          }
           if (nBuffered >= spillPostings) { spill(curBucket); curBucket = -1 }
         }
 
         private def fill(): Unit = {
           while (out.isEmpty && it.hasNext) {
-            val (docId, text) = it.next()
-            consumeDoc(docId, text)
+            val (docId, texts) = it.next()
+            consumeDoc(docId, texts)
             if (!it.hasNext) spill(curBucket)
           }
         }
@@ -156,11 +180,25 @@ object IndexBuilder {
     }
   }
 
+  /** single-text-column convenience (the classic layout) */
+  def tokenizeToRuns(
+      docs: Dataset[(Long, String)],
+      cfg: IndexConfig,
+      bucketBits: Int,
+      tokensAcc: Option[LongAccumulator] = None,
+      runsAcc: Option[LongAccumulator] = None)(
+      implicit d: DummyImplicit): Dataset[PostingRunRow] = {
+    import docs.sparkSession.implicits._
+    tokenizeToRuns(docs.map { case (id, t) => (id, Array(t)) }, cfg, bucketBits,
+      sectioned = false, tokensAcc, runsAcc)
+  }
+
   /** Reduce side: consume runs sorted by (term, bucket, min_doc); per
     * (term, bucket) group decode all runs (bounded by the bucket's 2^bits
     * docs), merge into global doc order, and re-chunk into fixed-size
     * blocks. */
-  def mergeRuns(cfg: IndexConfig)(it: Iterator[PostingRunRow]): Iterator[PostingBlockRow] =
+  def mergeRuns(cfg: IndexConfig, sectioned: Boolean = false)(
+      it: Iterator[PostingRunRow]): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private val in = it.buffered
       private val out = new mutable.Queue[PostingBlockRow]()
@@ -173,6 +211,7 @@ object IndexBuilder {
         val docs = new Array[Long](n)
         val tfs = new Array[Int](n)
         val dls = new Array[Int](n)
+        val sds = new Array[Int](n)
         val poss = new Array[Array[Int]](n)
         var o = 0
         runs.foreach { d =>
@@ -180,6 +219,7 @@ object IndexBuilder {
           var po = 0
           while (i < d.count) {
             docs(o) = d.docIds(i); tfs(o) = d.tfs(i); dls(o) = d.dls(i)
+            sds(o) = if (d.sids.isEmpty) 1 else d.sids(i)
             if (d.positions.nonEmpty) {
               poss(o) = java.util.Arrays.copyOfRange(d.positions, po, po + d.tfs(i))
               po += d.tfs(i)
@@ -187,29 +227,40 @@ object IndexBuilder {
             i += 1; o += 1
           }
         }
-        // sort by docId if interleaved (cheap index sort; groups are small)
+        // sort by (docId, sid) if interleaved (cheap index sort; groups are small)
         var sorted = true
         var i = 1
-        while (sorted && i < n) { sorted = docs(i - 1) < docs(i); i += 1 }
+        while (sorted && i < n) {
+          sorted = docs(i - 1) < docs(i) ||
+            (docs(i - 1) == docs(i) && sds(i - 1) < sds(i))
+          i += 1
+        }
         val order: Array[Int] =
           if (sorted) null
-          else Array.range(0, n).sortBy(docs(_))
+          else Array.range(0, n).sortBy(k => (docs(k), sds(k)))
         def at[T](arr: Array[T], k: Int): T = if (order == null) arr(k) else arr(order(k))
         var s = 0
         var blk = 0
         while (s < n) {
-          val len = math.min(cfg.blockSize, n - s)
+          var len = math.min(cfg.blockSize, n - s)
+          // a doc's (sid) group must never split across blocks: the query
+          // cursor aggregates a doc's sections within one block
+          if (sectioned)
+            while (s + len < n && at(docs, s + len) == at(docs, s + len - 1)) len += 1
           val bd = new Array[Long](len)
           val bt = new Array[Int](len)
           val bl = new Array[Int](len)
+          val bs = new Array[Int](len)
           val bp = new Array[Array[Int]](len)
           var j = 0
           while (j < len) {
             bd(j) = at(docs, s + j); bt(j) = at(tfs, s + j)
-            bl(j) = at(dls, s + j); bp(j) = at(poss, s + j)
+            bl(j) = at(dls, s + j); bs(j) = at(sds, s + j); bp(j) = at(poss, s + j)
             j += 1
           }
-          val payload = PostingCodec.encode(bd, bt, bl, if (cfg.withPositions) bp else null)
+          val payload = PostingCodec.encode(bd, bt, bl,
+            if (cfg.withPositions) bp else null,
+            if (sectioned) bs else null)
           out.enqueue(PostingBlockRow(term, bucket, blk, bd(0), bd(len - 1), len,
             bt.max, bl.min, bt.foldLeft(0L)(_ + _), payload.length, payload))
           blk += 1
@@ -252,8 +303,26 @@ object IndexBuilder {
       idCol: String,
       textCol: String,
       outPath: String,
+      cfg: IndexConfig = IndexConfig()): GraftIndex =
+    buildSectioned(spark, docs, idCol, Seq(textCol), outPath, cfg)
+
+  /** Multi-column (sectioned) index build: one posting per (doc, section)
+    * with sid = column position + 1 — `select --match_columns
+    * "title * 10 || body"` needs per-section tf at query time
+    * (WITH_SECTION, /root/reference/lib/ii.cpp:16859 sid packing;
+    * scoring lib/ii.cpp:13694-13696). A single column builds the classic
+    * sid-less layout. Note: for sectioned indexes, `terms.df` counts
+    * (doc, section) postings, not distinct docs. */
+  def buildSectioned(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCols: Seq[String],
+      outPath: String,
       cfg: IndexConfig = IndexConfig()): GraftIndex = {
     import spark.implicits._
+    require(textCols.nonEmpty, "at least one text column")
+    val sectioned = textCols.length > 1
 
     val fs = SegmentCatalog.fileSystem(spark, outPath)
     if (SegmentCatalog.isCommitted(fs, outPath)) return GraftIndex(spark, outPath)
@@ -279,18 +348,19 @@ object IndexBuilder {
     val bucketBits = cfg.resolveBucketBits(nInputDocs, shufflePartitions)
 
     val rawDocs = docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+      .select(col(idCol).cast("long"),
+        array(textCols.map(c => col(c).cast("string")): _*))
+      .as[(Long, Array[String])]
 
     // ---- stage 1: postings (tokenize + spill runs fused into the shuffle) ----
     val postingsPath = s"$outPath/postings"
     SegmentCatalog.writeStageIfAbsent(fs, postingsPath) {
       timed("postings") {
         val counted = rawDocs.mapPartitions { it => it.map { d => docsAcc.add(1L); d } }
-        tokenizeToRuns(counted, cfg, bucketBits, Some(tokensAcc), Some(runsAcc))
+        tokenizeToRuns(counted, cfg, bucketBits, sectioned, Some(tokensAcc), Some(runsAcc))
           .repartition(shufflePartitions, $"term", $"bucket")
           .sortWithinPartitions($"term", $"bucket", $"min_doc")
-          .mapPartitions(mergeRuns(cfg))
+          .mapPartitions(mergeRuns(cfg, sectioned))
           .write.mode("overwrite").parquet(postingsPath)
       }
     }
@@ -316,8 +386,14 @@ object IndexBuilder {
         val tokenizerName = cfg.tokenizer
         rawDocs.mapPartitions { it =>
           val tokenizer = Analyzers.byName(tokenizerName)
-          it.flatMap { case (docId, text) =>
-            val dl = tokenizer.countTokens(if (text == null) "" else text)
+          it.flatMap { case (docId, texts) =>
+            var dl = 0
+            var s = 0
+            while (s < texts.length) {
+              val t = texts(s)
+              dl += tokenizer.countTokens(if (t == null) "" else t)
+              s += 1
+            }
             if (dl == 0) None else Some((docId, dl))
           }
         }.toDF("doc_id", "dl")
@@ -342,7 +418,8 @@ object IndexBuilder {
       avgdl = docStats._2,
       totalPostings = blockStats._1,
       totalPayloadBytes = blockStats._3,
-      segments = Seq("postings", "terms", "docs"))
+      segments = Seq("postings", "terms", "docs"),
+      sections = if (sectioned) textCols else Nil)
     SegmentCatalog.commit(fs, outPath, meta,
       Map(
         "docsRead" -> docsAcc.value.toString,

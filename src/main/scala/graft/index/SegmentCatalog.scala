@@ -44,6 +44,7 @@ object SegmentCatalog {
       "totalPostings" -> meta.totalPostings,
       "totalPayloadBytes" -> meta.totalPayloadBytes,
       "segments" -> meta.segments,
+      "sections" -> meta.sections,
       "metrics" -> metrics))
     val tmp = new Path(outPath, s"$ManifestFile.tmp")
     val dst = new Path(outPath, ManifestFile)
@@ -74,6 +75,7 @@ object SegmentCatalog {
       avgdl = (j \ "avgdl").extract[Double],
       totalPostings = (j \ "totalPostings").extract[Long],
       totalPayloadBytes = (j \ "totalPayloadBytes").extract[Long],
-      segments = (j \ "segments").extract[Seq[String]])
+      segments = (j \ "segments").extract[Seq[String]],
+      sections = (j \ "sections").extractOpt[Seq[String]].getOrElse(Nil))
   }
 }

@@ -69,7 +69,12 @@ final case class IndexMeta(
     avgdl: Double,
     totalPostings: Long,
     totalPayloadBytes: Long,
-    segments: Seq[String])
+    segments: Seq[String],
+    /** indexed column names in sid order (sid = position + 1); empty for a
+      * single-column index (no sid stream in the postings) — the Spark
+      * counterpart of groonga's WITH_SECTION multi-column index
+      * (/root/reference/include/groonga/groonga.h:777) */
+    sections: Seq[String] = Nil)
 
 final case class IndexConfig(
     tokenizer: String = "TokenBigram",

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+import graft.analyzer.{Analyzers, OffsetToken, Tokenizer}
+
+/** Position-driven highlight + snippet.
+  *
+  * Unlike a regex markup, matching happens in NORMALIZED token space (the
+  * same lexicon the index stores) and tags are inserted at the tokens'
+  * source-char offsets — multi-term, normalization-aware (full-width,
+  * case), with overlapping/adjacent matched grams merged into one tagged
+  * run. Semantic counterpart of groonga's highlighter over the output text
+  * (/root/reference/lib/highlighter.c; snippets lib/snip.c).
+  */
+object Highlighter {
+
+  /** merged raw-char ranges of tokens whose term is in `terms` */
+  def matchRanges(toks: Array[OffsetToken], terms: Set[String]): Array[(Int, Int)] = {
+    val hits = toks.filter(t => terms.contains(t.term))
+    if (hits.isEmpty) return Array.empty
+    java.util.Arrays.sort(hits, (a: OffsetToken, b: OffsetToken) =>
+      if (a.start != b.start) Integer.compare(a.start, b.start)
+      else Integer.compare(a.end, b.end))
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var (cs, ce) = (hits(0).start, hits(0).end)
+    var i = 1
+    while (i < hits.length) {
+      val h = hits(i)
+      if (h.start <= ce) { if (h.end > ce) ce = h.end } // overlap/adjacent: merge
+      else { out += ((cs, ce)); cs = h.start; ce = h.end }
+      i += 1
+    }
+    out += ((cs, ce))
+    out.toArray
+  }
+
+  /** tag every matched token run; None when nothing matches */
+  def highlight(raw: String, tokenizer: Tokenizer, terms: Set[String],
+      open: String = "<em>", close: String = "</em>"): Option[String] = {
+    val rs = matchRanges(tokenizer.tokenizeWithOffsets(raw), terms)
+    if (rs.isEmpty) return None
+    val sb = new java.lang.StringBuilder(raw.length + rs.length * (open.length + close.length))
+    var prev = 0
+    rs.foreach { case (s, e) =>
+      sb.append(raw, prev, s).append(open).append(raw, s, e).append(close)
+      prev = e
+    }
+    sb.append(raw, prev, raw.length)
+    Some(sb.toString)
+  }
+
+  /** context window of `width` chars starting `before` chars ahead of the
+    * FIRST matched token; None when nothing matches */
+  def snippet(raw: String, tokenizer: Tokenizer, terms: Set[String],
+      before: Int = 15, width: Int = 40): Option[String] = {
+    val rs = matchRanges(tokenizer.tokenizeWithOffsets(raw), terms)
+    if (rs.isEmpty) return None
+    val from = math.max(0, rs(0)._1 - before)
+    Some(raw.substring(from, math.min(raw.length, from + width)))
+  }
+
+  /** DataFrame op: (id, highlighted) for docs containing any query term */
+  def highlightColumn(docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String, terms: Set[String],
+      open: String = "<em>", close: String = "</em>"): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.select(docs(idCol).cast("long"), docs(textCol).cast("string"))
+      .mapPartitions { it =>
+        val tok = Analyzers.byName(tokenizerName)
+        it.flatMap { r =>
+          highlight(r.getString(1), tok, terms, open, close).map((r.getLong(0), _))
+        }
+      }(enc)
+      .toDF(idCol, "highlighted")
+  }
+
+  /** DataFrame op: (id, snippet) around the first matched term */
+  def snippetColumn(docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String, terms: Set[String],
+      before: Int = 15, width: Int = 40): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.select(docs(idCol).cast("long"), docs(textCol).cast("string"))
+      .mapPartitions { it =>
+        val tok = Analyzers.byName(tokenizerName)
+        it.flatMap { r =>
+          snippet(r.getString(1), tok, terms, before, width).map((r.getLong(0), _))
+        }
+      }(enc)
+      .toDF(idCol, "snippet")
+  }
+}

@@ -18,6 +18,12 @@ object MatchMode {
   case object Phrase extends MatchMode
   /** all terms within a window (GRN_OP_NEAR, /root/reference/lib/ii.cpp:13383-13533) */
   final case class Near(maxInterval: Int) extends MatchMode
+  /** all PHRASES (term groups keyed by ResolvedTerm.phraseId) occur, with
+    * phrase start positions within `maxInterval` of each other; `ordered`
+    * additionally requires starts ascending in query-phrase order
+    * (GRN_OP_NEAR_PHRASE / GRN_OP_ORDERED_NEAR_PHRASE,
+    * /root/reference/lib/ii.cpp:11210+, 12903) */
+  final case class NearPhrase(maxInterval: Int, ordered: Boolean) extends MatchMode
   /** at least `min` distinct terms present (GRN_OP_QUORUM) */
   final case class Quorum(min: Int) extends MatchMode
 }
@@ -34,7 +40,10 @@ object ScoreMode {
 }
 
 final case class ResolvedTerm(
-    term: String, df: Long, idf: Double, weight: Double, qpos: Int)
+    term: String, df: Long, idf: Double, weight: Double, qpos: Int,
+    /** phrase-group id for NearPhrase composition (0 for everything else);
+      * qpos is then the offset within the phrase */
+    phraseId: Int = 0)
 
 final case class ResolvedQuery(
     terms: Array[ResolvedTerm],
@@ -45,7 +54,19 @@ final case class ResolvedQuery(
       * scanned in ascending docId and ties lose to earlier docs, so the
       * per-bucket top-k always contains the bucket's contribution to the
       * global top-k. */
-    topK: Int)
+    topK: Int,
+    /** per-section weight, indexed by sid-1 (match_columns "a*10||b" →
+      * [10, 1], lib/ii.cpp:13694-13696 column_weight). Empty = 1.0 each. */
+    sectionWeights: Array[Double] = Array.emptyDoubleArray,
+    /** true when the index carries a sid stream — disables WAND pruning
+      * (block max_tf is per-(doc,sid) posting; a doc's aggregated tf can
+      * exceed it, so the block bound would be unsound). The heap top-k
+      * path stays exact. */
+    sectioned: Boolean = false) {
+  def sectionWeight(sid: Int): Double =
+    if (sectionWeights.isEmpty || sid - 1 >= sectionWeights.length) 1.0
+    else sectionWeights(sid - 1)
+}
 
 object Bm25 {
   /** idf = ln((N - df + 0.5)/(df + 0.5) + 1) — reference formula at
@@ -62,12 +83,19 @@ object Bm25 {
   * Block min/max docs act as skip pointers (advanceTo skips whole blocks
   * without decoding — role of chunk-header dgaps,
   * /root/reference/lib/ii.cpp:16200-16219, cursor skip :8139).
+  *
+  * Iteration is by DOC GROUP: with a sectioned index consecutive postings
+  * may share a docId (one per section); doc/tf/next/advanceTo treat the
+  * whole group as one logical posting. The builder never splits a doc's
+  * group across blocks. Without sections the group is always one posting
+  * (the fast path).
   */
 final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   private var bi = 0
   private var block: DecodedBlock = _
-  private var i = 0
-  private var posBase = 0
+  private var i = 0 // group start
+  private var gEnd = 0 // group end (exclusive), same block
+  private var posBase = 0 // positions offset of group start
   var exhausted: Boolean = blocks.isEmpty
   if (!exhausted) loadBlock()
 
@@ -75,14 +103,59 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
     block = PostingCodec.decode(blocks(bi).payload)
     i = 0
     posBase = 0
+    setGroup()
+  }
+
+  private def setGroup(): Unit = {
+    gEnd = i + 1
+    if (block.sids.nonEmpty)
+      while (gEnd < block.count && block.docIds(gEnd) == block.docIds(i)) gEnd += 1
   }
 
   def doc: Long = block.docIds(i)
-  def tf: Int = block.tfs(i)
-  def dl: Int = block.dls(i)
+  /** unweighted tf summed over the doc's sections */
+  def tf: Int = {
+    if (gEnd == i + 1) block.tfs(i)
+    else {
+      var s = 0; var j = i
+      while (j < gEnd) { s += block.tfs(j); j += 1 }
+      s
+    }
+  }
+  def dl: Int = block.dls(i) // whole-doc dl, same for every section posting
+  /** section-weighted tf of the current doc group (empty weights = 1.0) */
+  def weightedTf(q: ResolvedQuery): Double = {
+    if (block.sids.isEmpty && q.sectionWeights.isEmpty) return block.tfs(i).toDouble
+    var s = 0.0
+    var j = i
+    while (j < gEnd) {
+      val sid = if (block.sids.isEmpty) 1 else block.sids(j)
+      s += block.tfs(j) * q.sectionWeight(sid)
+      j += 1
+    }
+    s
+  }
+  /** positions of the current group, flattened across sections (only valid
+    * for non-sectioned use — phrase/near on sectioned indexes must use
+    * groupPositions) */
   def positions: Array[Int] = {
-    val out = new Array[Int](block.tfs(i))
-    System.arraycopy(block.positions, posBase, out, 0, out.length)
+    val n = { var s = 0; var j = i; while (j < gEnd) { s += block.tfs(j); j += 1 }; s }
+    val out = new Array[Int](n)
+    System.arraycopy(block.positions, posBase, out, 0, n)
+    out
+  }
+  /** per-section positions of the current group: (sid, ascending positions) */
+  def groupPositions: Array[(Int, Array[Int])] = {
+    val out = new Array[(Int, Array[Int])](gEnd - i)
+    var off = posBase
+    var j = i
+    while (j < gEnd) {
+      val p = new Array[Int](block.tfs(j))
+      System.arraycopy(block.positions, off, p, 0, p.length)
+      out(j - i) = ((if (block.sids.isEmpty) 1 else block.sids(j), p))
+      off += block.tfs(j)
+      j += 1
+    }
     out
   }
   /** true while block.positions non-empty */
@@ -123,17 +196,19 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   /** last docId of the current block (block-skip boundary) */
   def currentBlockMaxDoc: Long = blocks(bi).max_doc
 
+  /** advance past the current doc group */
   def next(): Unit = {
     if (exhausted) return
-    posBase += block.tfs(i)
-    i += 1
+    var j = i
+    while (j < gEnd) { posBase += block.tfs(j); j += 1 }
+    i = gEnd
     if (i >= block.count) {
       bi += 1
       if (bi >= blocks.length) exhausted = true else loadBlock()
-    }
+    } else setGroup()
   }
 
-  /** advance to the first posting with docId >= target */
+  /** advance to the first doc group with docId >= target */
   def advanceTo(target: Long): Unit = {
     if (exhausted) return
     // skip whole blocks by max_doc
@@ -166,7 +241,7 @@ object MatchKernel {
       }
     }
     val results: Iterator[(Long, Double)] = q.mode match {
-      case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near =>
+      case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near | _: MatchMode.NearPhrase =>
         if (cursors.length < q.terms.length) Iterator.empty // a term missing in bucket
         else conjunctive(q, cursors)
       case MatchMode.Any => disjunctive(q, cursors, minMatch = 1)
@@ -175,12 +250,12 @@ object MatchKernel {
     if (q.topK > 0) topK(results, q.topK) else results
   }
 
-  private def score1(q: ResolvedQuery, c: TermCursor, tfOverride: Int = -1): Double = {
-    val tf = if (tfOverride >= 0) tfOverride else c.tf
+  private def score1(q: ResolvedQuery, c: TermCursor): Double = {
+    val tf = c.weightedTf(q)
     q.score match {
-      case ScoreMode.Tf => tf.toDouble * c.rt.weight
+      case ScoreMode.Tf => tf * c.rt.weight
       case ScoreMode.Bm25(k1, b) =>
-        c.rt.idf * c.rt.weight * Bm25.weight(tf.toDouble, c.dl.toDouble, q.avgdl, k1, b)
+        c.rt.idf * c.rt.weight * Bm25.weight(tf, c.dl.toDouble, q.avgdl, k1, b)
     }
   }
 
@@ -236,60 +311,181 @@ object MatchKernel {
         while (i < aligned.length) { s += score1(q, aligned(i)); i += 1 }
         Some(s)
       case MatchMode.Phrase =>
-        // occurrences where every term appears at base + (qpos_i - qpos_0)
+        // occurrences where every term appears at base + (qpos_i - qpos_0),
+        // within the same section (positions restart per section; a phrase
+        // never crosses a section boundary — EXACT phrase check,
+        // /root/reference/lib/ii.cpp:13538-13605)
         val base = aligned.minBy(_.rt.qpos)
         val others = aligned.filter(_ ne base)
-        val otherPos = others.map(_.positions)
-        var occurrences = 0
-        val basePos = base.positions
-        var i = 0
-        while (i < basePos.length) {
-          val p0 = basePos(i)
-          var ok = true
+        val otherBySid: Array[Map[Int, Array[Int]]] =
+          others.map(_.groupPositions.toMap)
+        var weighted = 0.0
+        var anyOcc = false
+        for ((sid, basePos) <- base.groupPositions) {
+          var sectionOk = true
+          val oPos = new Array[Array[Int]](others.length)
           var j = 0
-          while (j < others.length && ok) {
-            val want = p0 + (others(j).rt.qpos - base.rt.qpos)
-            ok = java.util.Arrays.binarySearch(otherPos(j), want) >= 0
+          while (j < others.length && sectionOk) {
+            otherBySid(j).get(sid) match {
+              case Some(p) => oPos(j) = p
+              case None => sectionOk = false
+            }
             j += 1
           }
-          if (ok) occurrences += 1
-          i += 1
+          if (sectionOk) {
+            var occ = 0
+            var x = 0
+            while (x < basePos.length) {
+              val p0 = basePos(x)
+              var ok = true
+              j = 0
+              while (j < others.length && ok) {
+                val want = p0 + (others(j).rt.qpos - base.rt.qpos)
+                ok = java.util.Arrays.binarySearch(oPos(j), want) >= 0
+                j += 1
+              }
+              if (ok) occ += 1
+              x += 1
+            }
+            if (occ > 0) { anyOcc = true; weighted += occ * q.sectionWeight(sid) }
+          }
         }
-        if (occurrences == 0) None
+        if (!anyOcc) None
         else Some(q.score match {
-          case ScoreMode.Tf => occurrences.toDouble
+          case ScoreMode.Tf => weighted
           case ScoreMode.Bm25(k1, b) =>
             // phrase scored as a unit: idf of the rarest member term
             val idf = aligned.map(_.rt.idf).max
-            idf * Bm25.weight(occurrences.toDouble, base.dl.toDouble, q.avgdl, k1, b)
+            idf * Bm25.weight(weighted, base.dl.toDouble, q.avgdl, k1, b)
         })
       case MatchMode.Near(maxInterval) =>
-        // minimal window over all terms' positions within maxInterval
-        val lists = aligned.map(_.positions)
-        var best = Int.MaxValue
-        val idx = new Array[Int](lists.length)
-        var run = true
-        while (run) {
-          var minV = Int.MaxValue; var maxV = Int.MinValue; var minI = -1
-          var i = 0
-          while (i < lists.length) {
-            val v = lists(i)(idx(i))
-            if (v < minV) { minV = v; minI = i }
-            if (v > maxV) maxV = v
-            i += 1
-          }
-          if (maxV - minV < best) best = maxV - minV
-          idx(minI) += 1
-          if (idx(minI) >= lists(minI).length) run = false
+        // minimal window over all terms' positions within maxInterval,
+        // evaluated per shared section (GRN_OP_NEAR,
+        // /root/reference/lib/ii.cpp:13383-13533)
+        val perCursor: Array[Map[Int, Array[Int]]] =
+          aligned.map(_.groupPositions.toMap)
+        val sharedSids = perCursor.map(_.keySet).reduce(_ intersect _)
+        val ok = sharedSids.exists { sid =>
+          minWindow(perCursor.map(_(sid))) <= maxInterval
         }
-        if (best <= maxInterval) {
+        if (ok) {
           var s = 0.0
           var i = 0
           while (i < aligned.length) { s += score1(q, aligned(i)); i += 1 }
           Some(s)
         } else None
+      case MatchMode.NearPhrase(maxInterval, ordered) =>
+        // compose phrase groups: each group matches like Phrase, yielding
+        // start positions; groups' starts must fit within maxInterval (and
+        // ascend in query order for the ordered variant), within ONE section
+        val pids = aligned.map(_.rt.phraseId).distinct.sorted
+        val groups = pids.map(pid => aligned.filter(_.rt.phraseId == pid))
+        val perPhraseBySid: Array[Map[Int, Array[Int]]] = groups.map(phraseStartsBySid)
+        val sharedSids = perPhraseBySid.map(_.keySet)
+          .foldLeft(null: Set[Int])((a, b) => if (a == null) b else a intersect b)
+        if (sharedSids == null || sharedSids.isEmpty) None
+        else {
+          val okSid = sharedSids.exists { sid =>
+            val starts = perPhraseBySid.map(_(sid))
+            if (ordered) orderedWindowExists(starts, maxInterval)
+            else minWindow(starts) <= maxInterval
+          }
+          if (!okSid) None
+          else {
+            // score = Σ phrase occurrences x section weight (TF semantics)
+            var s = 0.0
+            perPhraseBySid.foreach(_.foreach { case (sid, st) =>
+              s += st.length * q.sectionWeight(sid)
+            })
+            Some(q.score match {
+              case ScoreMode.Tf => s
+              case ScoreMode.Bm25(k1, b) =>
+                val idf = aligned.map(_.rt.idf).max
+                idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
+            })
+          }
+        }
       case _ => Some(0.0)
     }
+  }
+
+  /** one phrase group's occurrence START positions per section: position p
+    * counts iff every member term of the group occurs at p + (qpos - min
+    * qpos). A single-term group's starts are just its positions. */
+  private def phraseStartsBySid(group: Array[TermCursor]): Map[Int, Array[Int]] = {
+    val base = group.minBy(_.rt.qpos)
+    val others = group.filter(_ ne base)
+    val otherBySid = others.map(_.groupPositions.toMap)
+    val out = Map.newBuilder[Int, Array[Int]]
+    for ((sid, basePos) <- base.groupPositions) {
+      var sectionOk = true
+      val oPos = new Array[Array[Int]](others.length)
+      var j = 0
+      while (j < others.length && sectionOk) {
+        otherBySid(j).get(sid) match {
+          case Some(p) => oPos(j) = p
+          case None => sectionOk = false
+        }
+        j += 1
+      }
+      if (sectionOk) {
+        val starts = basePos.filter { p0 =>
+          var ok = true
+          var i = 0
+          while (i < others.length && ok) {
+            ok = java.util.Arrays.binarySearch(
+              oPos(i), p0 + (others(i).rt.qpos - base.rt.qpos)) >= 0
+            i += 1
+          }
+          ok
+        }
+        if (starts.nonEmpty) out += sid -> starts
+      }
+    }
+    out.result()
+  }
+
+  /** exists s_0 < s_1 < ... (one start per list, ascending in list order)
+    * with s_last - s_0 <= maxInterval; greedy chain per anchor is optimal */
+  private def orderedWindowExists(starts: Array[Array[Int]], maxInterval: Int): Boolean =
+    starts(0).exists { s0 =>
+      var prev = s0
+      var ok = true
+      var i = 1
+      while (i < starts.length && ok) {
+        val arr = starts(i)
+        // first element strictly greater than prev
+        var lo = 0
+        var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) <= prev) lo = mid + 1 else hi = mid
+        }
+        if (lo >= arr.length) ok = false else prev = arr(lo)
+        i += 1
+      }
+      ok && prev - s0 <= maxInterval
+    }
+
+  /** smallest (max - min) over one position picked from each list */
+  private def minWindow(lists: Array[Array[Int]]): Int = {
+    var best = Int.MaxValue
+    val idx = new Array[Int](lists.length)
+    var run = true
+    while (run) {
+      var minV = Int.MaxValue; var maxV = Int.MinValue; var minI = -1
+      var i = 0
+      while (i < lists.length) {
+        val v = lists(i)(idx(i))
+        if (v < minV) { minV = v; minI = i }
+        if (v > maxV) maxV = v
+        i += 1
+      }
+      if (maxV - minV < best) best = maxV - minV
+      idx(minI) += 1
+      if (idx(minI) >= lists(minI).length) run = false
+    }
+    best
   }
 
   /** OR / quorum: k-way docId merge; Block-Max WAND pruning kicks in for
@@ -298,7 +494,8 @@ object MatchKernel {
       q: ResolvedQuery, cursors0: Array[TermCursor], minMatch: Int): Iterator[(Long, Double)] = {
     val cursors = cursors0.filterNot(_.exhausted)
     if (cursors.isEmpty || cursors.length < minMatch) return Iterator.empty
-    val useWand = q.topK > 0 && minMatch == 1 && q.score.isInstanceOf[ScoreMode.Bm25]
+    val useWand = q.topK > 0 && minMatch == 1 &&
+      q.score.isInstanceOf[ScoreMode.Bm25] && !q.sectioned
     if (useWand) return wand(q, cursors)
     val out = new mutable.ArrayBuffer[(Long, Double)]()
     val live = mutable.ArrayBuffer(cursors: _*)

@@ -35,7 +35,10 @@ object IncrementalIndex {
     val base = SegmentCatalog.readMeta(fs, indexPath)
 
     val segPath = s"$indexPath/$segmentName"
-    val seg = IndexBuilder.build(spark, docs, idCol, textCol, segPath,
+    // a sectioned base appends with the SAME section columns (docs must
+    // expose them); single-column bases use textCol
+    val textCols = if (base.sections.nonEmpty) base.sections else Seq(textCol)
+    val seg = IndexBuilder.buildSectioned(spark, docs, idCol, textCols, segPath,
       cfg.copy(tokenizer = base.tokenizer, withPositions = base.withPositions))
     val segMeta = seg.meta
 
@@ -101,7 +104,8 @@ object IncrementalIndex {
       .repartition(shufflePartitions, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
       .mapPartitions(IndexBuilder.mergeRuns(cfg.copy(
-        withPositions = meta.withPositions, blockSize = meta.blockSize)))
+        withPositions = meta.withPositions, blockSize = meta.blockSize),
+        sectioned = meta.sections.nonEmpty))
       .write.mode("overwrite").parquet(s"$tmp/postings")
     spark.read.parquet(s"$tmp/postings")
       .groupBy($"term")

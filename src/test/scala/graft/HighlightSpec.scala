@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analyzer.Analyzers
+import graft.operators.Highlighter
+
+class HighlightSpec extends AnyFunSuite {
+  private val bigram = Analyzers.bigram
+
+  test("tokenizeWithOffsets term/pos sequence equals tokenize") {
+    val inputs = Seq(
+      "spark join merge",
+      "Full-Width Ｓｐａｒｋ and CJK データベース検索",
+      "日本語テキストの全文検索エンジン",
+      "mixed 123 abc漢字def 456",
+      "  leading blanks\tand\nnewlines  ")
+    for (in <- inputs) {
+      val plain = bigram.tokenize(in).map(t => (t.term, t.pos)).toSeq
+      val off = bigram.tokenizeWithOffsets(in).map(t => (t.term, t.pos)).toSeq
+      assert(off == plain, s"input: $in")
+    }
+  }
+
+  test("offsets map into the raw string (identity corpus)") {
+    val raw = "spark join merge"
+    for (t <- bigram.tokenizeWithOffsets(raw))
+      assert(raw.substring(t.start, t.end) == t.term)
+  }
+
+  test("offsets stay correct under length-changing normalization (full-width)") {
+    val raw = "see Ｓｐａｒｋ here" // full-width Spark: 5 raw chars -> "spark"
+    val toks = bigram.tokenizeWithOffsets(raw)
+    val hit = toks.find(_.term == "spark").get
+    assert(raw.substring(hit.start, hit.end) == "Ｓｐａｒｋ")
+    val h = Highlighter.highlight(raw, bigram, Set("spark")).get
+    assert(h == "see <em>Ｓｐａｒｋ</em> here")
+  }
+
+  test("multi-term highlight tags each occurrence") {
+    val h = Highlighter.highlight(
+      "the spark and join and spark again", bigram, Set("spark", "join")).get
+    assert(h == "the <em>spark</em> and <em>join</em> and <em>spark</em> again")
+  }
+
+  test("no match yields None (not an untouched string)") {
+    assert(Highlighter.highlight("nothing here", bigram, Set("spark")).isEmpty)
+  }
+
+  test("overlapping CJK grams merge into one tagged run") {
+    // ADD-mode grams of データ are デー + ータ (overlap at ー); both match
+    // inside データベース and must merge to one <em>データ</em>
+    val h = Highlighter.highlight("データベース", bigram, Set("デー", "ータ")).get
+    assert(h == "<em>データ</em>ベース")
+  }
+
+  test("substring token does NOT match (token-space, not regex-space)") {
+    // 'spar' is not a token of "sparkle" (word tokens are whole runs)
+    assert(Highlighter.highlight("sparkle plug", bigram, Set("spar")).isEmpty)
+  }
+
+  test("snippet windows around the first matched token") {
+    val raw = "aaa bbb ccc spark ddd eee fff ggg hhh iii jjj"
+    val s = Highlighter.snippet(raw, bigram, Set("spark"), before = 4, width = 12).get
+    assert(s == raw.substring(8, 20))
+    assert(s.contains("spark"))
+    // match at string head: window clamps to 0
+    val s2 = Highlighter.snippet("spark tail words", bigram, Set("spark"),
+      before = 10, width = 8).get
+    assert(s2 == "spark ta")
+  }
+}

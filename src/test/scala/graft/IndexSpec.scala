@@ -232,6 +232,31 @@ class IndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("near-phrase (unordered + ordered) equals brute check") {
+    def starts(id: Long, words: Seq[String]): Seq[Int] = {
+      val toks = naive.tokenized(id)
+      val posOf = words.map(w => toks.filter(_.term == w).map(_.pos).toSet)
+      toks.filter(_.term == words.head).map(_.pos)
+        .filter(p => words.indices.forall(k => posOf(k).contains(p + k)))
+    }
+    val single = headTerm(3)
+    def brute(k: Int, ordered: Boolean): Map[Long, Double] = corpus.flatMap { case (id, _) =>
+      val s1 = starts(id, Seq("spark", "fulltext"))
+      val s2 = starts(id, Seq(single))
+      val ok =
+        if (!ordered) s1.exists(a => s2.exists(b => math.abs(a - b) <= k))
+        else s1.exists(a => s2.exists(b => b > a && b - a <= k))
+      if (ok) Some(id -> (s1.length + s2.length).toDouble) else None
+    }.toMap
+    val phrases = Seq("spark fulltext", single)
+    val got = collectScores(index.searchNearPhrase(phrases, 8))
+    assert(got.nonEmpty, "unordered near-phrase should match")
+    assert(got == brute(8, ordered = false))
+    val gotO = collectScores(index.searchNearPhrase(phrases, 8, ordered = true))
+    assert(gotO == brute(8, ordered = true))
+    assert(gotO.keySet.subsetOf(got.keySet))
+  }
+
   test("build is resumable: second call reuses the committed manifest") {
     val df = WebCorpus.generate(spark, nDocs, partitions = 4)
     val t0 = System.nanoTime()

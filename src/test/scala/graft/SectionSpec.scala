@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.PostingCodec
+import graft.index._
+import graft.query._
+
+/** Sectioned (multi-column / sid) index: codec round-trip, weighted
+  * match_columns scoring vs a naive oracle, and phrase semantics
+  * (a phrase never crosses a section boundary). */
+class SectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft-sect").toString
+
+  test("codec round-trips sid stream (incl. same-doc section pairs)") {
+    val docs = Array(1L, 1L, 2L, 5L, 5L, 5L)
+    val tfs = Array(2, 1, 3, 1, 1, 2)
+    val dls = Array(10, 10, 4, 9, 9, 9)
+    val sids = Array(1, 2, 1, 1, 2, 3)
+    val poss = Array(Array(0, 3), Array(1), Array(0, 1, 2), Array(5), Array(0), Array(2, 4))
+    val bytes = PostingCodec.encode(docs, tfs, dls, poss, sids)
+    val d = PostingCodec.decode(bytes)
+    assert(d.docIds.toSeq == docs.toSeq)
+    assert(d.tfs.toSeq == tfs.toSeq)
+    assert(d.dls.toSeq == dls.toSeq)
+    assert(d.sids.toSeq == sids.toSeq)
+    assert(d.positions.toSeq == poss.flatten.toSeq)
+  }
+
+  test("codec rejects non-ascending (doc, sid)") {
+    intercept[IllegalArgumentException] {
+      PostingCodec.encode(Array(1L, 1L), Array(1, 1), Array(2, 2), null, Array(2, 1))
+    }
+  }
+
+  // two-column corpus: title + body, deterministic
+  private val n = 400
+  private def title(i: Long): String =
+    if (i % 3 == 0) "spark title words here" else s"plain heading $i"
+  private def body(i: Long): String = {
+    val sb = new StringBuilder
+    if (i % 2 == 0) sb.append("spark ")
+    if (i % 5 == 0) sb.append("spark join cluster ")
+    if (i % 7 == 0) sb.append("alpha ") // title-tail / body-head trap below
+    sb.append(s"common words body$i filler")
+    sb.toString
+  }
+  private def titleTrap(i: Long): String =
+    if (i % 7 == 0) s"heading ends alpha" else title(i)
+  // doc 399*? — we use titleTrap for the phrase test corpus
+
+  private lazy val idx: GraftIndex = {
+    import spark.implicits._
+    val df = (0L until n).map(i => (i, title(i), body(i))).toDF("doc_id", "title", "body")
+    IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"),
+      s"$tmp/idx", IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+  }
+
+  private def tok(s: String): Array[String] =
+    graft.analyzer.Analyzers.bigram.terms(s)
+
+  test("weighted match_columns scoring equals naive (Any)") {
+    val got = idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf,
+        sectionWeights = Map("title" -> 10.0, "body" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (0L until n).flatMap { i =>
+      val t = tok(title(i)).count(_ == "spark")
+      val b = tok(body(i)).count(_ == "spark")
+      val s = 10.0 * t + 1.0 * b
+      if (s > 0) Some(i -> s) else None
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // docs matched ONLY via title prove cross-section match works
+    assert(want.keys.exists(i => tok(body(i)).count(_ == "spark") == 0))
+  }
+
+  test("weighted match_columns scoring equals naive (All, two terms)") {
+    val got = idx.searchTerms(Seq("spark", "join"), MatchMode.All, ScoreMode.Tf,
+        sectionWeights = Map("title" -> 10.0, "body" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (0L until n).flatMap { i =>
+      val terms = Seq("spark", "join")
+      val scores = terms.map { tm =>
+        10.0 * tok(title(i)).count(_ == tm) + tok(body(i)).count(_ == tm)
+      }
+      if (scores.forall(_ > 0)) Some(i -> scores.sum) else None
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("default weights = 1.0 per section (plain doc-level tf)") {
+    val got = idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (0L until n).flatMap { i =>
+      val s = tok(title(i)).count(_ == "spark") + tok(body(i)).count(_ == "spark")
+      if (s > 0) Some(i -> s.toDouble) else None
+    }.toMap
+    assert(got == want)
+  }
+
+  test("phrase does not cross section boundaries") {
+    import spark.implicits._
+    val df = (0L until n).map(i => (i, titleTrap(i), body(i))).toDF("doc_id", "title", "body")
+    val trapIdx = IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"),
+      s"$tmp/idx-trap", IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+    // docs with i%7==0 have title "... alpha" and body "alpha ..." — the
+    // words are adjacent only ACROSS the boundary, so "ends alpha" matches
+    // (inside title) but "alpha alpha" must not
+    val inTitle = trapIdx.searchPhrase("ends alpha")
+      .collect().map(_.getLong(0)).toSet
+    assert(inTitle == (0L until n).filter(_ % 7 == 0).toSet)
+    val crossing = trapIdx.searchPhrase("alpha alpha")
+    assert(crossing.count() == 0, "phrase must not span title|body boundary")
+  }
+
+  test("BM25 over sectioned index equals naive with aggregated tf") {
+    val got = idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Bm25())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // naive: tf = title+body occurrences, dl = total tokens, idf from
+    // (doc, section)-counting df (documented sectioned-df semantics)
+    val dfCount = (0L until n).map { i =>
+      Seq(tok(title(i)), tok(body(i))).count(_.contains("spark"))
+    }.sum
+    val dls = (0L until n).map(i => tok(title(i)).length + tok(body(i)).length)
+    val avgdl = dls.sum.toDouble / n
+    val idf = Bm25.idf(n, dfCount)
+    val want = (0L until n).flatMap { i =>
+      val tf = tok(title(i)).count(_ == "spark") + tok(body(i)).count(_ == "spark")
+      if (tf > 0) Some(i -> idf * Bm25.weight(tf, dls(i.toInt), avgdl, 2.0, 0.75))
+      else None
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (i, s) => assert(math.abs(s - want(i)) < 1e-9, s"doc $i") }
+  }
+
+  test("sectioned top-k (non-WAND path) is rank-identical to full scoring") {
+    val full = idx.searchTerms(Seq("spark", "join"), MatchMode.Any, ScoreMode.Bm25(),
+        sectionWeights = Map("title" -> 3.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = full.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    val got = idx.topK(idx.searchTerms(Seq("spark", "join"), MatchMode.Any,
+        ScoreMode.Bm25(), topK = 10, sectionWeights = Map("title" -> 3.0)), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+  }
+
+  test("bucketBits invariance for sectioned index") {
+    import spark.implicits._
+    val df = (0L until n).map(i => (i, title(i), body(i))).toDF("doc_id", "title", "body")
+    val wide = IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"),
+      s"$tmp/idx-wide", IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+    val w = Map("title" -> 10.0)
+    val a = idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf, sectionWeights = w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = wide.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf, sectionWeights = w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+}
