@@ -115,6 +115,41 @@ object DataOpsQueries {
        |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
+        bits = 30, maxDist = 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** same signature construction as dedup_simhash but 30 bits (16-bit
+    * signatures collide quadratically on a same-domain corpus), then
+    * pigeonhole chunk-blocked pairs verified by exact popcount(xor) —
+    * three 10-bit chunks for bits=30 / maxDist=2 */
+  val dedupSimhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |th AS (SELECT doc_id, term, tf, ${sqlPolyHash("term", 131)} AS h FROM tf),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(tf * (((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS s
+       |  FROM th, unnest(range(0, 30)) AS u(j) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash // CAST(power(2, b * 10) AS BIGINT)) % 1024 AS key
+       |  FROM sig, unnest(range(0, 3)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- similarity search ----
 
   private def queryVec(spark: SparkSession, dir: String): Array[Float] = {
@@ -284,6 +319,7 @@ object DataOpsQueries {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopK,
@@ -299,6 +335,7 @@ object DataOpsQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_topk" -> annLshTopKSql,

@@ -223,6 +223,34 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM rare)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SUFFIX mode via the reversed-term dictionary: docs containing any term
+    * ending in 'ow' (GRN_OP_SUFFIX, reversed-key cursor lib/ii.cpp:10989). */
+  def suffix(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir).searchSuffix("ow"))
+
+  val suffixSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term LIKE '%ow' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** query syntax with relational + equality column predicates:
+    * `spark +n_chars:<250 +lang:en` — ft leg scored by tf, each matched
+    * scalar predicate contributes 1 (lib/expr.c comparison ops). */
+  def queryRelational(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val docs = Tables.table(spark, dir, "documents")
+    graft.operators.Select.eval(idx,
+        graft.query.QueryParser.parse("spark +n_chars:<250 +lang:en"),
+        ScoreMode.Tf, source = Some(docs))
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val queryRelationalSql: String = OracleProlog +
+    """SELECT t.doc_id, CAST(t.tf + 2 AS BIGINT) AS score
+      |FROM tf t JOIN documents d USING (doc_id)
+      |WHERE t.term = 'spark' AND d.n_chars < 250 AND d.lang = 'en'
+      |ORDER BY t.doc_id""".stripMargin
+
   /** NEAR_PHRASE: '*NP "batch batch" "spark"' — the 2-gram phrase and the
     * word within 15 positions (263 reference tests under
     * test/command/suite/select/query/ near_phrase). Score = Σ phrase
@@ -344,7 +372,9 @@ object FulltextQueries {
     "ft_match_columns" -> matchColumns,
     "ft_match_columns_and" -> matchColumnsAnd,
     "ft_near_phrase" -> nearPhrase,
-    "ft_ordered_near_phrase" -> orderedNearPhrase)
+    "ft_ordered_near_phrase" -> orderedNearPhrase,
+    "ft_suffix" -> suffix,
+    "ft_query_relational" -> queryRelational)
 
   val oracles: Map[String, String] = Map(
     "ft_and_tf" -> andTfSql,
@@ -364,5 +394,7 @@ object FulltextQueries {
     "ft_match_columns" -> matchColumnsSql,
     "ft_match_columns_and" -> matchColumnsAndSql,
     "ft_near_phrase" -> nearPhraseSql,
-    "ft_ordered_near_phrase" -> orderedNearPhraseSql)
+    "ft_ordered_near_phrase" -> orderedNearPhraseSql,
+    "ft_suffix" -> suffixSql,
+    "ft_query_relational" -> queryRelationalSql)
 }

@@ -187,6 +187,30 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       .orderBy(desc("df")).limit(maxExpansions)
       .select($"term").as[String].collect().toSeq
 
+  /** Suffix expansion via the reversed-term dictionary (terms_rev, sorted
+    * by reversed term → parquet row-group pruning on the startsWith filter;
+    * groonga's reversed-key suffix cursor, lib/ii.cpp:10989). Falls back to
+    * a full terms scan for indexes built before terms_rev existed. */
+  def expandSuffix(suffix: String, maxExpansions: Int = 1024): Seq[String] = {
+    val rsuffix = suffix.reverse
+    val revPaths = tablePaths("terms_rev")
+    val fs = SegmentCatalog.fileSystem(spark, path)
+    val haveRev = revPaths.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val base =
+      if (haveRev) spark.read.parquet(revPaths: _*).where($"rterm".startsWith(rsuffix))
+      else terms.where(reverse($"term").startsWith(rsuffix))
+    base.orderBy(desc("df")).limit(maxExpansions)
+      .select($"term").as[String].collect().toSeq
+  }
+
+  /** SUFFIX match mode: docs containing any dictionary term ending with
+    * `suffix` (GRN_OP_SUFFIX), TF-scored. */
+  def searchSuffix(suffix: String, maxExpansions: Int = 1024): DataFrame = {
+    val expanded = expandSuffix(suffix, maxExpansions)
+    if (expanded.isEmpty) emptyResult
+    else searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
+  }
+
   /** Fuzzy expansion: terms within edit distance (GRN_OP_FUZZY,
     * /root/reference/lib/ii.cpp:11116-11208) — distributed levenshtein over
     * the term dictionary with a cheap length prefilter. */

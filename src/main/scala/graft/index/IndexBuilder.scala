@@ -379,6 +379,21 @@ object IndexBuilder {
       }
     }
 
+    // ---- stage 2b: reversed-term dictionary, sorted by reversed term so
+    // suffix expansion ($suffix / SUFFIX mode) prunes parquet row groups the
+    // same way prefix expansion prunes `terms` — the role of groonga's
+    // reversed-key patricia trie (lib/ii.cpp:10989 suffix cursor) ----
+    val termsRevPath = s"$outPath/terms_rev"
+    SegmentCatalog.writeStageIfAbsent(fs, termsRevPath) {
+      timed("terms_rev") {
+        spark.read.parquet(termsPath)
+          .select(reverse($"term").as("rterm"), $"term", $"df")
+          .repartition(math.max(1, shufflePartitions / 4))
+          .sortWithinPartitions($"rterm")
+          .write.mode("overwrite").parquet(termsRevPath)
+      }
+    }
+
     // ---- stage 3: doc stats (map-only tokenize-count pass) ----
     val docsPath = s"$outPath/docs"
     SegmentCatalog.writeStageIfAbsent(fs, docsPath) {

@@ -27,10 +27,51 @@ object Select {
       offset: Int = 0,
       limit: Int = 10,
       postFilter: Option[Column] = None,
-      scorer: Option[DataFrame => Column] = None)
+      scorer: Option[DataFrame => Column] = None,
+      /** source table (with a doc_id column) for relational `col:<n` legs */
+      source: Option[DataFrame] = None)
 
-  /** evaluate a parsed query node to (doc_id, score) */
-  def eval(idx: GraftIndex, node: Node, score: ScoreMode): DataFrame = node match {
+  private def flattenAnd(n: Node): List[Node] = n match {
+    case AndQ(l, r) => flattenAnd(l) ++ flattenAnd(r)
+    case x => List(x)
+  }
+  private def flattenOr(n: Node): List[Node] = n match {
+    case OrQ(l, r) => flattenOr(l) ++ flattenOr(r)
+    case x => List(x)
+  }
+
+  private def andCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.withColumnRenamed("score", "score_r"), Seq("doc_id"))
+      .select(col("doc_id"), (col("score") + col("score_r")).as("score"))
+  private def orCombine(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+
+  /** relational leg on the source table: matched records score 1
+    * (non-index predicate semantics of --query, lib/expr.c comparison ops) */
+  private def relFilter(source: DataFrame, c: String, op: String, v: String): DataFrame = {
+    val dt = source.schema(c).dataType
+    val l = lit(v).cast(dt)
+    val cc = source.col(c)
+    val pred = op match {
+      case "<" => cc < l
+      case "<=" => cc <= l
+      case ">" => cc > l
+      case ">=" => cc >= l
+      case "=" => cc === l
+      case "!=" => cc =!= l
+      case other => throw new IllegalArgumentException(s"unknown relational op $other")
+    }
+    source.where(pred).select(col("doc_id"), lit(1.0).as("score"))
+  }
+
+  /** evaluate a parsed query node to (doc_id, score).
+    *
+    * Conjunctions/disjunctions of plain terms compile into ONE MatchKernel
+    * pass (searchTerms All/Any) instead of per-leg scans + shuffle joins;
+    * joins remain only for mixed phrase/prefix/relational trees. */
+  def eval(idx: GraftIndex, node: Node, score: ScoreMode,
+      source: Option[DataFrame] = None): DataFrame = node match {
     case TermQ(t, w) =>
       idx.searchTerms(Seq(t), MatchMode.Any, score, weights = Map(t -> w))
     case PhraseQ(p) =>
@@ -39,22 +80,44 @@ object Select {
       val expanded = idx.expandPrefix(p)
       if (expanded.isEmpty) idx.emptyResult
       else idx.searchTerms(expanded, MatchMode.Any, score)
-    case AndQ(l, r) =>
-      val a = eval(idx, l, score)
-      val b = eval(idx, r, score).withColumnRenamed("score", "score_r")
-      a.join(b, Seq("doc_id"))
-        .select(col("doc_id"), (col("score") + col("score_r")).as("score"))
-    case OrQ(l, r) =>
-      eval(idx, l, score).unionByName(eval(idx, r, score))
-        .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    case SuffixQ(s) =>
+      val expanded = idx.expandSuffix(s)
+      if (expanded.isEmpty) idx.emptyResult
+      else idx.searchTerms(expanded, MatchMode.Any, score)
+    case RegexpQ(p) =>
+      idx.searchRegexp(p)
+    case RelQ(c, op, v) =>
+      relFilter(source.getOrElse(throw new IllegalArgumentException(
+        s"relational leg $c:$op$v needs a source table (Request.source)")), c, op, v)
+    case _: AndQ =>
+      val legs = flattenAnd(node)
+      val termLegs = legs.collect { case t: TermQ => t }
+      val rest = legs.filterNot(_.isInstanceOf[TermQ])
+      val head =
+        if (termLegs.size >= 2)
+          Some(idx.searchTerms(termLegs.map(_.term), MatchMode.All, score,
+            weights = termLegs.map(t => t.term -> t.weight).toMap))
+        else termLegs.headOption.map(eval(idx, _, score, source))
+      val parts = head.toList ++ rest.map(eval(idx, _, score, source))
+      parts.reduce(andCombine)
+    case _: OrQ =>
+      val legs = flattenOr(node)
+      val termLegs = legs.collect { case t: TermQ => t }
+      val rest = legs.filterNot(_.isInstanceOf[TermQ])
+      val head =
+        if (termLegs.size >= 2)
+          Some(idx.searchTerms(termLegs.map(_.term), MatchMode.Any, score,
+            weights = termLegs.map(t => t.term -> t.weight).toMap))
+        else termLegs.headOption.map(eval(idx, _, score, source))
+      orCombine(head.toList ++ rest.map(eval(idx, _, score, source)))
     case NotQ(l, r) =>
-      eval(idx, l, score)
-        .join(eval(idx, r, score).select("doc_id"), Seq("doc_id"), "left_anti")
+      eval(idx, l, score, source)
+        .join(eval(idx, r, score, source).select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
   /** full select: query -> post_filter -> scorer -> sort/offset/limit */
   def select(idx: GraftIndex, req: Request): DataFrame = {
-    var df = eval(idx, QueryParser.parse(req.query), req.score)
+    var df = eval(idx, QueryParser.parse(req.query), req.score, req.source)
     req.postFilter.foreach(f => df = df.where(f))
     req.scorer.foreach(fn => df = df.withColumn("score", fn(df)))
     val sortCols = req.sortKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }

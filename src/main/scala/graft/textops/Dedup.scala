@@ -146,6 +146,39 @@ object Dedup {
     result
   }
 
+  /** simhash near-dup PAIRS within Hamming distance `maxDist`: the
+    * signature is split into maxDist+1 bit chunks — by pigeonhole, any pair
+    * within distance maxDist agrees exactly on at least one chunk — pairs
+    * are blocked by (chunk index, chunk value) and verified with an exact
+    * popcount(xor). No all-pairs join; bucket fanout is n/2^chunkWidth per
+    * chunk value, so at scale pick `bits`/`maxDist` with chunkWidth >= ~16
+    * (e.g. 64-bit signatures, maxDist 3). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxDist: Int = 2): DataFrame = {
+    val sig = simhash(docs, idCol, textCol, bits)
+    val bands = maxDist + 1
+    val w = (bits + bands - 1) / bands
+    val bandCols = (0 until bands).map { b =>
+      val width = math.min(w, bits - b * w)
+      val key = shiftright(col("simhash"), b * w) % lit(1L << width)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** simhash over word tokens weighted by tf: bit j set iff
     * sum_terms(tf * sign(bit_j(polyhash(term)))) > 0. `bits` <= 30. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

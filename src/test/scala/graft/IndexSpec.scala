@@ -209,6 +209,14 @@ class IndexSpec extends AnyFunSuite {
     assert(exp.forall(_.startsWith(prefix)))
   }
 
+  test("suffix expansion via reversed dictionary equals full scan") {
+    val suf = headTerm(0).takeRight(2)
+    val exp = index.expandSuffix(suf, maxExpansions = 100000)
+    assert(exp.contains(headTerm(0)))
+    assert(exp.forall(_.endsWith(suf)))
+    assert(exp.toSet == naive.df.keySet.filter(_.endsWith(suf)))
+  }
+
   test("fuzzy expansion within edit distance") {
     val t = headTerm(6)
     val exp = index.expandFuzzy(t, 1)

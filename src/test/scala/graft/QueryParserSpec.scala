@@ -39,4 +39,35 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse("(a"))
     intercept[IllegalArgumentException](QueryParser.parse(""))
   }
+
+  test("relational column predicates") {
+    assert(QueryParser.parse("n:<40") == RelQ("n", "<", "40"))
+    assert(QueryParser.parse("n:<=40") == RelQ("n", "<=", "40"))
+    assert(QueryParser.parse("n:>40") == RelQ("n", ">", "40"))
+    assert(QueryParser.parse("n:>=40") == RelQ("n", ">=", "40"))
+    assert(QueryParser.parse("lang:!en") == RelQ("lang", "!=", "en"))
+    assert(QueryParser.parse("lang:=en") == RelQ("lang", "=", "en"))
+    assert(QueryParser.parse("lang:en") == RelQ("lang", "=", "en"))
+    assert(QueryParser.parse("a +n:<40") == AndQ(TermQ("a"), RelQ("n", "<", "40")))
+  }
+
+  test("suffix and regexp legs") {
+    assert(QueryParser.parse("text:$ing") == SuffixQ("ing"))
+    assert(QueryParser.parse("$ing") == SuffixQ("ing"))
+    assert(QueryParser.parse("text:~qu.*y") == RegexpQ("qu.*y"))
+    assert(QueryParser.parse("~qu.*y") == RegexpQ("qu.*y"))
+  }
+
+  test("escapes make operator chars literal") {
+    assert(QueryParser.parse("a\\:b") == TermQ("a:b"))
+    assert(QueryParser.parse("\\-lead") == TermQ("-lead"))
+    assert(QueryParser.parse("w\\*2") == TermQ("w*2"))
+    assert(QueryParser.parse("col:\\<x") == RelQ("col", "=", "<x"))
+    assert(QueryParser.parse("\"a \\\" b\"") == PhraseQ("a \" b"))
+  }
+
+  test("empty column value errors instead of mis-parsing") {
+    intercept[IllegalArgumentException](QueryParser.parse("col:"))
+    intercept[IllegalArgumentException](QueryParser.parse(":foo"))
+  }
 }
