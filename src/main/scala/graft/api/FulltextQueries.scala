@@ -223,6 +223,41 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM rare)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** post-update state: build a fresh index, DELETE doc_id%50==7, UPSERT
+    * doc_id%50==3 with new text, then search — tombstones + key-merge
+    * (lib/load.c:794-1203, grn_ii_delete_one lib/grn_ii.h:158). The oracle
+    * computes the same query over the mutated corpus directly. */
+  def afterUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.{GraftIndex, IndexBuilder, IndexConfig, SegmentCatalog}
+    val docs = Tables.table(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val out = s"/tmp/graft-cache/$key/upd-idx"
+    // the mutation sequence is not idempotent on a committed index: rebuild
+    val fs = SegmentCatalog.fileSystem(spark, out)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    IndexBuilder.build(spark, docs, "doc_id", "text", out,
+      IndexConfig(tokenizer = "TokenBigram"))
+    graft.streaming.IncrementalIndex.delete(spark, out,
+      docs.where(col("doc_id") % 50 === 7).select("doc_id"))
+    graft.streaming.IncrementalIndex.upsert(spark, out,
+      docs.where(col("doc_id") % 50 === 3)
+        .select(col("doc_id"), lit("graftupd graftupd spark").as("text")),
+      "doc_id", "text", "seg-upd", IndexConfig(tokenizer = "TokenBigram"))
+    longScore(GraftIndex(spark, out).searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val afterUpdateSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 3 THEN 'graftupd graftupd spark' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 50 <> 7),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      |  FROM cur)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM toks
+      |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SUFFIX mode via the reversed-term dictionary: docs containing any term
     * ending in 'ow' (GRN_OP_SUFFIX, reversed-key cursor lib/ii.cpp:10989). */
   def suffix(spark: SparkSession, dir: String): DataFrame =
@@ -374,7 +409,8 @@ object FulltextQueries {
     "ft_near_phrase" -> nearPhrase,
     "ft_ordered_near_phrase" -> orderedNearPhrase,
     "ft_suffix" -> suffix,
-    "ft_query_relational" -> queryRelational)
+    "ft_query_relational" -> queryRelational,
+    "ft_after_update" -> afterUpdate)
 
   val oracles: Map[String, String] = Map(
     "ft_and_tf" -> andTfSql,
@@ -396,5 +432,6 @@ object FulltextQueries {
     "ft_near_phrase" -> nearPhraseSql,
     "ft_ordered_near_phrase" -> orderedNearPhraseSql,
     "ft_suffix" -> suffixSql,
-    "ft_query_relational" -> queryRelationalSql)
+    "ft_query_relational" -> queryRelationalSql,
+    "ft_after_update" -> afterUpdateSql)
 }

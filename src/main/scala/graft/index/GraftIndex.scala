@@ -34,10 +34,54 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     segDirs.map(s => if (s == ".") s"$path/$table" else s"$path/$s/$table")
 
   // lazy handles: file listing + schema resolution happen once per index
-  // instance, not once per query
-  lazy val postings: DataFrame = spark.read.parquet(tablePaths("postings"): _*)
+  // instance, not once per query. Postings carry seg_ord (manifest segment
+  // order) so tombstone generations can tell an upserted doc's old
+  // postings from its new ones.
+  lazy val postings: DataFrame = {
+    val cols = Seq("term", "bucket", "blk", "min_doc", "max_doc", "cnt",
+      "max_tf", "min_dl", "tf_sum", "payload_len", "payload")
+    tablePaths("postings").zipWithIndex.map { case (p, i) =>
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .withColumn("seg_ord", lit(i))
+    }.reduce(_.unionByName(_))
+  }
   lazy val terms: DataFrame = spark.read.parquet(tablePaths("terms"): _*)
-  lazy val docs: DataFrame = spark.read.parquet(tablePaths("docs"): _*)
+  /** doc stats with tombstoned rows filtered out (per-generation) */
+  lazy val docs: DataFrame = {
+    val raw = tablePaths("docs").zipWithIndex.map { case (p, i) =>
+      spark.read.parquet(p).select(col("doc_id"), col("dl"))
+        .withColumn("seg_ord", lit(i))
+    }.reduce(_.unionByName(_))
+    deletesDf match {
+      case None => raw.drop("seg_ord")
+      case Some(d) =>
+        val dg = d.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+        raw.join(broadcast(dg), Seq("doc_id"), "left")
+          .where(col("gen").isNull || col("seg_ord") >= col("gen"))
+          .select(col("doc_id"), col("dl"))
+    }
+  }
+
+  /** tombstone table, if any deletes were committed */
+  lazy val deletesDf: Option[DataFrame] =
+    if (meta.deleteSegments.isEmpty) None
+    else Some(spark.read.parquet(meta.deleteSegments.map(s => s"$path/$s"): _*))
+
+  /** driver-side tombstones (sorted doc ids + max gen each) consumed by the
+    * match kernel. Bounded: a tombstone set past the cap means the index
+    * needs a compact, not a bigger driver. */
+  @transient lazy val tombstones: (Array[Long], Array[Int]) = deletesDf match {
+    case None => (Array.emptyLongArray, Array.emptyIntArray)
+    case Some(d) =>
+      val rows = d.groupBy($"doc_id").agg(max($"gen").cast("int").as("gen"))
+        .collect()
+      require(rows.length <= GraftIndex.MaxDriverTombstones,
+        s"${rows.length} tombstones exceed the driver cap " +
+          s"(${GraftIndex.MaxDriverTombstones}) — run IncrementalIndex.compact " +
+          s"on $path to fold deletes into the base")
+      val sorted = rows.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      (sorted.map(_._1), sorted.map(_._2))
+  }
 
   /** empty (doc_id, score) result with the canonical schema */
   def emptyResult: DataFrame = spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
@@ -96,9 +140,11 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       ResolvedTerm(t, st.map(_.df).getOrElse(0L),
         Bm25.idf(meta.nDocs, st.map(_.df).getOrElse(0L)), w, qpos)
     }
+    val (td, tg) = tombstones
     ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
       sectionWeights = resolveSectionWeights(sectionWeights),
-      sectioned = meta.sections.nonEmpty)
+      sectioned = meta.sections.nonEmpty,
+      tombDocs = td, tombGens = tg)
   }
 
   /** Core search: (doc_id, score) matches for the given terms.
@@ -172,8 +218,9 @@ final case class GraftIndex(spark: SparkSession, path: String) {
         ResolvedTerm(t, stats(t).df, Bm25.idf(meta.nDocs, stats(t).df), 1.0, p, pid)
       }
     }
+    val (td, tg) = tombstones
     val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
-      sectioned = meta.sections.nonEmpty)
+      sectioned = meta.sections.nonEmpty, tombDocs = td, tombGens = tg)
     val blocks = postings.where($"term".isin(allTerms: _*)).as[PostingBlockRow]
     blocks.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
@@ -233,11 +280,18 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     val joined = postings
       .join(matching.select(col("term").as("term")).distinct(), Seq("term"))
       .as[PostingBlockRow]
-    joined.flatMap { b =>
+    val perPosting = joined.flatMap { b =>
       val d = graft.codec.PostingCodec.decode(b.payload)
-      (0 until d.count).iterator.map(i => (d.docIds(i), d.tfs(i).toLong))
-    }.toDF("doc_id", "tf")
-      .groupBy(col("doc_id"))
+      (0 until d.count).iterator.map(i => (d.docIds(i), d.tfs(i).toLong, b.seg_ord))
+    }.toDF("doc_id", "tf", "seg_ord")
+    val alive = deletesDf match {
+      case None => perPosting
+      case Some(d) =>
+        val dg = d.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+        perPosting.join(broadcast(dg), Seq("doc_id"), "left")
+          .where(col("gen").isNull || col("seg_ord") >= col("gen"))
+    }
+    alive.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("double").as("score"))
   }
 
@@ -258,4 +312,10 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   /** Top-k with the deterministic reference tie order (-_score, _id). */
   def topK(result: DataFrame, k: Int): DataFrame =
     result.orderBy(desc("score"), asc("doc_id")).limit(k)
+}
+
+object GraftIndex {
+  /** tombstone sets past this size must be compacted away, not shipped to
+    * every task */
+  final val MaxDriverTombstones: Int = 5000000
 }

@@ -45,6 +45,7 @@ object SegmentCatalog {
       "totalPayloadBytes" -> meta.totalPayloadBytes,
       "segments" -> meta.segments,
       "sections" -> meta.sections,
+      "deleteSegments" -> meta.deleteSegments,
       "metrics" -> metrics))
     val tmp = new Path(outPath, s"$ManifestFile.tmp")
     val dst = new Path(outPath, ManifestFile)
@@ -76,6 +77,7 @@ object SegmentCatalog {
       totalPostings = (j \ "totalPostings").extract[Long],
       totalPayloadBytes = (j \ "totalPayloadBytes").extract[Long],
       segments = (j \ "segments").extract[Seq[String]],
-      sections = (j \ "sections").extractOpt[Seq[String]].getOrElse(Nil))
+      sections = (j \ "sections").extractOpt[Seq[String]].getOrElse(Nil),
+      deleteSegments = (j \ "deleteSegments").extractOpt[Seq[String]].getOrElse(Nil))
   }
 }

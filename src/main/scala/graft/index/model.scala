@@ -52,7 +52,13 @@ final case class PostingBlockRow(
     min_dl: Int,
     tf_sum: Long,
     payload_len: Int,
-    payload: Array[Byte])
+    payload: Array[Byte],
+    /** segment ordinal, assigned at READ time from the manifest's segment
+      * order (0 = base). Tombstones of generation g cover postings with
+      * seg_ord < g, which is what lets an upsert re-add a live doc id
+      * while its old postings stay dead (grn_ii_update_one semantics,
+      * /root/reference/lib/grn_ii.h:155). */
+    seg_ord: Int = 0)
 
 final case class TermStatRow(term: String, df: Long, total_tf: Long, max_tf: Int)
 
@@ -74,7 +80,11 @@ final case class IndexMeta(
       * single-column index (no sid stream in the postings) — the Spark
       * counterpart of groonga's WITH_SECTION multi-column index
       * (/root/reference/include/groonga/groonga.h:777) */
-    sections: Seq[String] = Nil)
+    sections: Seq[String] = Nil,
+    /** tombstone segment dirs, each holding (doc_id, gen) rows: doc_id is
+      * dead in all data segments with seg_ord < gen. Folded away by
+      * compact. (delete path of grn_ii_delete_one, lib/grn_ii.h:158) */
+    deleteSegments: Seq[String] = Nil)
 
 final case class IndexConfig(
     tokenizer: String = "TokenBigram",

@@ -62,7 +62,15 @@ final case class ResolvedQuery(
       * (block max_tf is per-(doc,sid) posting; a doc's aggregated tf can
       * exceed it, so the block bound would be unsound). The heap top-k
       * path stays exact. */
-    sectioned: Boolean = false) {
+    sectioned: Boolean = false,
+    /** tombstones, sorted by doc id: tombDocs(i) is dead in data segments
+      * with seg_ord < tombGens(i). Buckets touching a tombstone (or with
+      * overlapping segment ranges, i.e. upserts) are decoded, filtered and
+      * re-merged before cursor iteration; untouched buckets stream as
+      * usual. Compact folds tombstones away and restores the fast path
+      * everywhere. */
+    tombDocs: Array[Long] = Array.emptyLongArray,
+    tombGens: Array[Int] = Array.emptyIntArray) {
   def sectionWeight(sid: Int): Double =
     if (sectionWeights.isEmpty || sid - 1 >= sectionWeights.length) 1.0
     else sectionWeights(sid - 1)
@@ -226,6 +234,82 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
 
 object MatchKernel {
 
+  /** true iff some tombstoned doc id falls in [lo, hi] */
+  private def rangeHasTombstone(tombDocs: Array[Long], lo: Long, hi: Long): Boolean = {
+    var a = 0
+    var b = tombDocs.length
+    while (a < b) { // lower bound of lo
+      val m = (a + b) >>> 1
+      if (tombDocs(m) < lo) a = m + 1 else b = m
+    }
+    a < tombDocs.length && tombDocs(a) <= hi
+  }
+
+  /** decode, tombstone-filter, (doc, sid)-sort and re-encode a term's
+    * blocks into ONE block — the slow-but-correct path for buckets touched
+    * by deletes/upserts (overlapping segment ranges). None if every
+    * posting is dead. */
+  private[graft] def filterBlocks(
+      blocks: Array[PostingBlockRow],
+      tombDocs: Array[Long], tombGens: Array[Int]): Option[PostingBlockRow] = {
+    val docs = new graft.codec.LongVec(16)
+    val tfs = new graft.codec.IntVec(16)
+    val dls = new graft.codec.IntVec(16)
+    val sds = new graft.codec.IntVec(16)
+    val poss = new mutable.ArrayBuffer[Array[Int]](16)
+    var withPos = false
+    var withSids = false
+    blocks.foreach { b =>
+      val d = PostingCodec.decode(b.payload)
+      if (d.positions.nonEmpty) withPos = true
+      if (d.sids.nonEmpty) withSids = true
+      var i = 0
+      var po = 0
+      while (i < d.count) {
+        val doc = d.docIds(i)
+        val ti = java.util.Arrays.binarySearch(tombDocs, doc)
+        val dead = ti >= 0 && b.seg_ord < tombGens(ti)
+        if (!dead) {
+          docs += doc; tfs += d.tfs(i); dls += d.dls(i)
+          sds += (if (d.sids.isEmpty) 1 else d.sids(i))
+          poss += (if (d.positions.isEmpty) Array.emptyIntArray
+            else java.util.Arrays.copyOfRange(d.positions, po, po + d.tfs(i)))
+        }
+        po += d.tfs(i)
+        i += 1
+      }
+    }
+    val n = docs.length
+    if (n == 0) return None
+    val da = docs.toArray
+    val sa = sds.toArray
+    val order = Array.range(0, n).sortBy(k => (da(k), sa(k)))
+    val od = new Array[Long](n)
+    val ot = new Array[Int](n)
+    val ol = new Array[Int](n)
+    val os = new Array[Int](n)
+    val op = new Array[Array[Int]](n)
+    val ta = tfs.toArray
+    val la = dls.toArray
+    var k = 0
+    var maxTf = 0
+    var minDl = Int.MaxValue
+    var tfSum = 0L
+    while (k < n) {
+      val src = order(k)
+      od(k) = da(src); ot(k) = ta(src); ol(k) = la(src); os(k) = sa(src); op(k) = poss(src)
+      if (ot(k) > maxTf) maxTf = ot(k)
+      if (ol(k) < minDl) minDl = ol(k)
+      tfSum += ot(k)
+      k += 1
+    }
+    val payload = PostingCodec.encode(od, ot, ol,
+      if (withPos) op else null, if (withSids) os else null)
+    val h = blocks(0)
+    Some(PostingBlockRow(h.term, h.bucket, 0, od(0), od(n - 1), n,
+      maxTf, minDl, tfSum, payload.length, payload, 0))
+  }
+
   /** Run the match over one bucket's blocks for all query terms.
     * Emits (docId, score) matches (per-bucket top-k if q.topK > 0). */
   def run(q: ResolvedQuery, rows: Iterator[PostingBlockRow]): Iterator[(Long, Double)] = {
@@ -236,8 +320,23 @@ object MatchKernel {
       // order by doc range (not blk): blocks may come from several segments
       // of an incrementally-appended index; append-only docIds keep segment
       // ranges disjoint, so (min_doc, blk) restores one ascending stream
-      byTerm.get(rt.term).map { bs =>
-        new TermCursor(rt, bs.sortBy(b => (b.min_doc, b.blk)).toArray)
+      byTerm.get(rt.term).flatMap { bs =>
+        val sorted = bs.sortBy(b => (b.min_doc, b.blk)).toArray
+        var overlapping = false
+        var i = 1
+        while (!overlapping && i < sorted.length) {
+          overlapping = sorted(i).min_doc <= sorted(i - 1).max_doc
+          i += 1
+        }
+        val touched = q.tombDocs.nonEmpty && {
+          var hi = Long.MinValue
+          sorted.foreach(b => if (b.max_doc > hi) hi = b.max_doc)
+          rangeHasTombstone(q.tombDocs, sorted(0).min_doc, hi)
+        }
+        if (touched || overlapping)
+          filterBlocks(sorted, q.tombDocs, q.tombGens)
+            .map(b => new TermCursor(rt, Array(b)))
+        else Some(new TermCursor(rt, sorted))
       }
     }
     val results: Iterator[(Long, Double)] = q.mode match {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.index._
+import graft.query.MatchKernel
 
 /** Incremental index maintenance: new documents land as additional
   * SEGMENTS; readers union segments (docIds are append-only, so segment doc
@@ -84,48 +85,146 @@ object IncrementalIndex {
     q.awaitTermination()
   }
 
-  /** Fold all segments into a fresh base index. Posting blocks already have
-    * the run layout, so compaction is: union block rows -> shuffle by
-    * (term, bucket) -> merge/re-chunk -> new base (no re-tokenization). */
+  /** number of data segments (tombstone generations count against it) */
+  private def dataSegCount(meta: IndexMeta): Int = {
+    val segs =
+      if (meta.segments.isEmpty ||
+        meta.segments.exists(s => s == "postings" || s == "terms" || s == "docs")) Seq(".")
+      else meta.segments
+    segs.length
+  }
+
+  /** Delete documents: commits a tombstone segment of (doc_id, gen) rows;
+    * gen = current data-segment count, so the tombstone covers every
+    * EXISTING segment but not segments appended later (that is what lets
+    * upsert re-add the same doc id). Readers apply tombstones at posting
+    * level; compact folds them away physically
+    * (grn_ii_delete_one, /root/reference/lib/grn_ii.h:158). */
+  def delete(spark: SparkSession, indexPath: String, docIds: DataFrame,
+      idCol: String = "doc_id"): GraftIndex = {
+    val fs = SegmentCatalog.fileSystem(spark, indexPath)
+    require(SegmentCatalog.isCommitted(fs, indexPath),
+      s"delete requires a committed index at $indexPath")
+    val meta = SegmentCatalog.readMeta(fs, indexPath)
+    val gen = dataSegCount(meta)
+    val name = f"del-${meta.deleteSegments.length}%05d"
+    docIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct()
+      .withColumn("gen", lit(gen))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/$name")
+    SegmentCatalog.commit(fs, indexPath,
+      meta.copy(deleteSegments = meta.deleteSegments :+ name),
+      Map("deleted" -> name))
+    GraftIndex(spark, indexPath)
+  }
+
+  def delete(spark: SparkSession, indexPath: String, docIds: Seq[Long]): GraftIndex = {
+    import spark.implicits._
+    delete(spark, indexPath, docIds.toDF("doc_id"))
+  }
+
+  /** Upsert (groonga `load` key-merge, /root/reference/lib/load.c:794-1203):
+    * tombstone the incoming ids across all existing segments, then append
+    * the new versions as a fresh segment. Buckets touched by the upsert pay
+    * a decode-merge at query time until the next compact; untouched buckets
+    * keep the streaming fast path. Corpus stats (nDocs/avgdl/idf) drift
+    * until compact — TF scores are exact. */
+  def upsert(
+      spark: SparkSession,
+      indexPath: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segmentName: String,
+      cfg: IndexConfig = IndexConfig()): GraftIndex = {
+    delete(spark, indexPath, docs.select(col(idCol)), idCol)
+    appendSegment(spark, indexPath, docs, idCol, textCol, segmentName, cfg)
+  }
+
+  /** Fold all segments AND tombstones into a fresh base. Posting blocks
+    * already have the run layout, so compaction is: (tombstone-filter) →
+    * union block rows → shuffle by (term, bucket) → merge/re-chunk → new
+    * base; no re-tokenization.
+    *
+    * Crash-atomic: everything is written under a fresh versioned dir
+    * (base-vN) and the manifest pointer is flipped in one atomic rename —
+    * a crash at any point leaves the previous committed state readable.
+    * Old dirs are removed only after the commit. */
   def compact(spark: SparkSession, indexPath: String, cfg: IndexConfig = IndexConfig()): GraftIndex = {
     import spark.implicits._
     val fs = SegmentCatalog.fileSystem(spark, indexPath)
     val idx = GraftIndex(spark, indexPath)
     val meta = idx.meta
+    val sectioned = meta.sections.nonEmpty
     val shufflePartitions = if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val tmp = s"$indexPath/_compact"
-    fs.delete(new Path(tmp), true)
-    // posting blocks are runs: re-merge across segments
+    val ver = 1 + meta.segments.collect {
+      case s if s.startsWith("base-v") => s.stripPrefix("base-v").toInt
+    }.foldLeft(0)(math.max)
+    val dstName = s"base-v$ver"
+    val dst = s"$indexPath/$dstName"
+    fs.delete(new Path(dst), true)
+
+    val (td, tg) = idx.tombstones
+    val mergeCfg = cfg.copy(withPositions = meta.withPositions, blockSize = meta.blockSize)
+    // tombstone-filter each block row, then re-merge across segments
     idx.postings.as[PostingBlockRow]
-      .map(b => PostingRunRow(b.term, b.bucket, b.min_doc, b.max_doc, b.cnt,
-        b.max_tf, b.min_dl, b.tf_sum, b.payload))
+      .flatMap { b =>
+        val filtered =
+          if (td.isEmpty) Some(b)
+          else MatchKernel.filterBlocks(Array(b), td, tg)
+        filtered.map(f => PostingRunRow(f.term, f.bucket, f.min_doc, f.max_doc,
+          f.cnt, f.max_tf, f.min_dl, f.tf_sum, f.payload))
+      }
       .repartition(shufflePartitions, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
-      .mapPartitions(IndexBuilder.mergeRuns(cfg.copy(
-        withPositions = meta.withPositions, blockSize = meta.blockSize),
-        sectioned = meta.sections.nonEmpty))
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    spark.read.parquet(s"$tmp/postings")
+      .mapPartitions(IndexBuilder.mergeRuns(mergeCfg, sectioned))
+      .write.mode("overwrite").parquet(s"$dst/postings")
+    spark.read.parquet(s"$dst/postings")
       .groupBy($"term")
       .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
         max($"max_tf").cast("int").as("max_tf"))
       .repartition(math.max(1, shufflePartitions / 4))
       .sortWithinPartitions($"term")
-      .write.mode("overwrite").parquet(s"$tmp/terms")
-    idx.docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      .write.mode("overwrite").parquet(s"$dst/terms")
+    spark.read.parquet(s"$dst/terms")
+      .select(reverse($"term").as("rterm"), $"term", $"df")
+      .repartition(math.max(1, shufflePartitions / 4))
+      .sortWithinPartitions($"rterm")
+      .write.mode("overwrite").parquet(s"$dst/terms_rev")
+    idx.docs.write.mode("overwrite").parquet(s"$dst/docs") // tombstone-filtered
 
-    // swap: move compacted tables into place, drop old segments
-    val oldSegs = meta.segments.filterNot(_ == ".")
-    Seq("postings", "terms", "docs").foreach { t =>
-      fs.delete(new Path(s"$indexPath/$t"), true)
-      fs.rename(new Path(s"$tmp/$t"), new Path(s"$indexPath/$t"))
-    }
-    fs.delete(new Path(tmp), true)
+    // fresh corpus stats (delete/upsert drift folds away here)
+    val docStats = spark.read.parquet(s"$dst/docs")
+      .agg(count(lit(1)), coalesce(avg($"dl"), lit(0.0))).as[(Long, Double)].head()
+    val blockStats = spark.read.parquet(s"$dst/postings")
+      .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
+      .as[(Long, Long)].head()
+
+    val oldSegDirs = meta.segments.filterNot(s =>
+      s == "postings" || s == "terms" || s == "docs" || s == ".")
+    val hadRootBase = meta.segments.isEmpty || meta.segments.exists(s =>
+      s == "postings" || s == "terms" || s == "docs") || meta.segments.contains(".")
+
+    // COMMIT: atomic manifest pointer flip to the new versioned base
     SegmentCatalog.commit(fs, indexPath,
-      meta.copy(segments = Seq(".")), Map("compacted" -> "true"))
-    oldSegs.foreach(s => fs.delete(new Path(s"$indexPath/$s"), true))
+      meta.copy(
+        nDocs = docStats._1,
+        avgdl = docStats._2,
+        totalPostings = blockStats._1,
+        totalPayloadBytes = blockStats._2,
+        segments = Seq(dstName),
+        deleteSegments = Nil),
+      Map("compacted" -> dstName))
+
+    // cleanup after commit (crash here only leaves unreferenced garbage)
+    if (hadRootBase)
+      Seq("postings", "terms", "terms_rev", "docs")
+        .foreach(t => fs.delete(new Path(s"$indexPath/$t"), true))
+    oldSegDirs.foreach(s => fs.delete(new Path(s"$indexPath/$s"), true))
+    meta.deleteSegments.foreach(s => fs.delete(new Path(s"$indexPath/$s"), true))
     GraftIndex(spark, indexPath)
   }
 }

@@ -67,7 +67,8 @@ class StreamingSpec extends AnyFunSuite {
     val before = collectScores(
       appendedIndex.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
     val compacted = IncrementalIndex.compact(spark, s"$tmp/idx", cfg)
-    assert(compacted.meta.segments == Seq("."))
+    assert(compacted.meta.segments == Seq("base-v1"), "versioned base pointer")
+    assert(compacted.meta.deleteSegments.isEmpty)
     val after = collectScores(
       compacted.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
     assert(after == before)
@@ -76,5 +77,62 @@ class StreamingSpec extends AnyFunSuite {
     val want = naive.phraseMatch("spark fulltext search engine")
       .map { case (id, n) => id -> n.toDouble }
     assert(phrase == want)
+  }
+
+  // ---- mutation path: delete / upsert / compact folding ----
+  // (ordered after the compaction test: each stage re-reads committed state)
+
+  private def topTerms: Seq[String] =
+    naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.map(_._1).take(2)
+
+  test("delete tombstones docs out of results; compact folds them physically") {
+    val idxPath = s"$tmp/idx"
+    val terms = topTerms
+    val before = collectScores(
+      GraftIndex(spark, idxPath).searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    val victims = before.keys.toSeq.sorted.take(3)
+    val afterDel = IncrementalIndex.delete(spark, idxPath, victims)
+    assert(afterDel.meta.deleteSegments.nonEmpty)
+    val got = collectScores(afterDel.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got == before -- victims)
+    assert(afterDel.docs.where(col("doc_id").isin(victims: _*)).count() == 0,
+      "doc stats must hide tombstoned docs")
+    // top-k never resurrects a deleted doc
+    val k = math.min(5, got.size)
+    val topIds = afterDel.topK(
+      afterDel.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = k), k)
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !topIds.contains(v)))
+    val compacted = IncrementalIndex.compact(spark, idxPath, cfg)
+    assert(compacted.meta.deleteSegments.isEmpty)
+    assert(compacted.meta.nDocs == naive.nDocs - victims.length,
+      "compact recomputes corpus stats")
+    val got2 = collectScores(compacted.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got2 == got)
+  }
+
+  test("upsert replaces a doc under the SAME id; state survives compact") {
+    val idxPath = s"$tmp/idx"
+    val term = topTerms.head
+    val before = collectScores(
+      GraftIndex(spark, idxPath).searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+    val victim = before.keys.min
+    val upd = Seq((victim, "zzzupserted zzzupserted unique content"))
+      .toDF("doc_id", "text")
+    val up = IncrementalIndex.upsert(spark, idxPath, upd, "doc_id", "text", "seg-up", cfg)
+    // old postings dead, same id re-added with new text
+    val after = collectScores(up.searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+    assert(after == before - victim)
+    assert(collectScores(up.searchTerms(Seq("zzzupserted"), MatchMode.Any, ScoreMode.Tf))
+      == Map(victim -> 2.0))
+    // dl of the new version visible in doc stats
+    assert(up.docs.where(col("doc_id") === victim).select("dl").as[Int].head() == 4)
+    val compacted = IncrementalIndex.compact(spark, idxPath, cfg)
+    assert(collectScores(
+      compacted.searchTerms(Seq("zzzupserted"), MatchMode.Any, ScoreMode.Tf))
+      == Map(victim -> 2.0))
+    assert(collectScores(
+      compacted.searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+      == before - victim)
   }
 }
