@@ -244,6 +244,74 @@ final class PatternTokenizer(pattern: String) extends Tokenizer {
   }
 }
 
+/** A token-stream transform applied after tokenization, index- AND
+  * query-side (consistency comes from persisting the full analyzer spec in
+  * the index manifest). Mirrors groonga's token_filters
+  * (/root/reference/plugins/token_filters/stop_word.c, stem.c). */
+trait TokenFilter extends Serializable {
+  def name: String
+  /** map a term to its filtered form, or null to DROP the token.
+    * Positions of surviving tokens are NOT renumbered (groonga keeps the
+    * original positions when stop words are skipped). */
+  def apply(term: String): String
+}
+
+final class StopWordFilter(stop: Set[String]) extends TokenFilter {
+  val name = s"TokenFilterStopWord(${stop.toSeq.sorted.mkString(",")})"
+  def apply(term: String): String = if (stop.contains(term)) null else term
+}
+
+final class StemFilter extends TokenFilter {
+  val name = "TokenFilterStem"
+  def apply(term: String): String = PorterStemmer.stem(term)
+}
+
+final class SStemFilter extends TokenFilter {
+  val name = "TokenFilterStemS"
+  def apply(term: String): String = SStemmer.stem(term)
+}
+
+/** base tokenizer + ordered filter chain; the composed `name` is the full
+  * spec ("TokenBigram+TokenFilterStem+TokenFilterStopWord(a,the)") and
+  * round-trips through Analyzers.byName — what the manifest stores. */
+final class FilteredTokenizer(base: Tokenizer, filters: Seq[TokenFilter]) extends Tokenizer {
+  val name: String = (base.name +: filters.map(_.name)).mkString("+")
+
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
+    val toks = base.tokenize(raw, mode)
+    val out = new ArrayBuffer[Token](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var t = toks(i).term
+      var j = 0
+      while (t != null && j < filters.length) { t = filters(j)(t); j += 1 }
+      if (t != null && t.nonEmpty) {
+        out += (if (t eq toks(i).term) toks(i) else toks(i).copy(term = t))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  override def tokenizeWithOffsets(raw: String): Array[OffsetToken] = {
+    val toks = base.tokenizeWithOffsets(raw)
+    val out = new ArrayBuffer[OffsetToken](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var t = toks(i).term
+      var j = 0
+      while (t != null && j < filters.length) { t = filters(j)(t); j += 1 }
+      if (t != null && t.nonEmpty) {
+        out += (if (t eq toks(i).term) toks(i) else toks(i).copy(term = t))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  override def countTokens(raw: String): Int = tokenize(raw).length
+}
+
 object Analyzers {
   val bigram = new NgramTokenizer(NgramOptions(n = 2), "TokenBigram")
   val unigram = new NgramTokenizer(NgramOptions(n = 1), "TokenUnigram")
@@ -260,7 +328,34 @@ object Analyzers {
     NgramOptions(n = 2, ignoreBlank = true), "TokenBigramIgnoreBlank")
   val delimit = new DelimitTokenizer
 
-  def byName(name: String): Tokenizer = name match {
+  private def filterByName(spec: String): TokenFilter = {
+    val p = spec.indexOf('(')
+    val (base, args) =
+      if (p < 0) (spec, "")
+      else {
+        require(spec.endsWith(")"), s"malformed filter spec: $spec")
+        (spec.take(p), spec.substring(p + 1, spec.length - 1))
+      }
+    base match {
+      case "TokenFilterStopWord" =>
+        new StopWordFilter(args.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      case "TokenFilterStem" => new StemFilter
+      case "TokenFilterStemS" => new SStemFilter
+      case other => throw new IllegalArgumentException(s"unknown token filter: $other")
+    }
+  }
+
+  /** resolve "Base+Filter1+Filter2(...)" analyzer specs; '+' never occurs
+    * inside filter args, so a top-level split is safe */
+  def byName(name: String): Tokenizer = {
+    if (name.contains('+')) {
+      val parts = name.split('+')
+      return new FilteredTokenizer(byName(parts.head), parts.tail.toSeq.map(filterByName))
+    }
+    byBaseName(name)
+  }
+
+  private def byBaseName(name: String): Tokenizer = name match {
     case "TokenBigram" => bigram
     case "TokenUnigram" => unigram
     case "TokenTrigram" => trigram
@@ -270,7 +365,25 @@ object Analyzers {
     case "TokenBigramIgnoreBlank" => bigramIgnoreBlank
     case "TokenDelimit" => delimit
     case other if other.startsWith("TokenNgram:") =>
-      new NgramTokenizer(NgramOptions(n = other.stripPrefix("TokenNgram:").toInt), other)
+      // option surface of grn_ngram_options
+      // (/root/reference/lib/tokenizers.c:452-463): either a bare gram size
+      // ("TokenNgram:3") or comma-separated k=v options
+      // ("TokenNgram:n=3,unify_alphabet=false,ignore_blank=true")
+      val spec = other.stripPrefix("TokenNgram:")
+      val opts =
+        if (spec.forall(_.isDigit)) NgramOptions(n = spec.toInt)
+        else spec.split(',').foldLeft(NgramOptions()) { (o, kv) =>
+          kv.split("=", 2) match {
+            case Array("n", v) => o.copy(n = v.toInt)
+            case Array("unify_alphabet", v) => o.copy(unifyAlphabet = v.toBoolean)
+            case Array("unify_digit", v) => o.copy(unifyDigit = v.toBoolean)
+            case Array("unify_symbol", v) => o.copy(unifySymbol = v.toBoolean)
+            case Array("ignore_blank", v) => o.copy(ignoreBlank = v.toBoolean)
+            case Array("remove_blank", v) => o.copy(removeBlank = v.toBoolean)
+            case _ => throw new IllegalArgumentException(s"bad TokenNgram option: $kv")
+          }
+        }
+      new NgramTokenizer(opts, other)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 }

@@ -35,6 +35,30 @@ object ExtraQueries {
       |FROM (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS tp FROM tl)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** `tokenize` with a StopWord token filter: stop tokens dropped, the
+    * surviving tokens KEEP their original positions (groonga skips stop
+    * words without renumbering, plugins/token_filters/stop_word.c). */
+  def tokenizeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "of", "and", "a", "to", "in")
+    val tok = Analyzers.byName(
+      s"TokenBigram+TokenFilterStopWord(${stop.mkString(",")})")
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => tok.tokenize(text).map(t => (id, t.pos, t.term)) }
+      .toDF("doc_id", "pos", "term")
+      .orderBy("doc_id", "pos")
+  }
+
+  val tokenizeFilteredSql: String =
+    """WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      |            FROM documents WHERE doc_id < 20)
+      |SELECT doc_id, CAST(tp[2] AS INT) - 1 AS pos, tp[1] AS term
+      |FROM (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS tp FROM tl)
+      |WHERE tp[1] NOT IN ('the','of','and','a','to','in')
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** --scorer: arbitrary expression assigned to _score after matching
     * (grn_select_apply_scorer, lib/proc/proc_select.cpp:3721). */
   def scorerExpr(spark: SparkSession, dir: String): DataFrame = {
@@ -248,6 +272,7 @@ object ExtraQueries {
     "ft_query_or_phrase" -> queryOrPhrase,
     "select_cmd" -> selectCmd,
     "tokenize_cmd" -> tokenizeCmd,
+    "tokenize_filtered" -> tokenizeFiltered,
     "scorer_expr" -> scorerExpr,
     "highlight" -> highlightQ,
     "snippet" -> snippetQ,
@@ -262,6 +287,7 @@ object ExtraQueries {
     "ft_query_or_phrase" -> queryOrPhraseSql,
     "select_cmd" -> selectCmdSql,
     "tokenize_cmd" -> tokenizeCmdSql,
+    "tokenize_filtered" -> tokenizeFilteredSql,
     "scorer_expr" -> scorerExprSql,
     "highlight" -> highlightSql,
     "snippet" -> snippetSql,

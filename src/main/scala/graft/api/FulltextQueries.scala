@@ -258,6 +258,34 @@ object FulltextQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM toks
       |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** stemmed index + stemmed query: 'queries' matches docs containing
+    * 'query'/'queries' — the token-filter pipeline applied consistently on
+    * both sides (plugins/token_filters/stem.c; the gate uses the
+    * SQL-replicable S-stemmer, the library also ships Porter). */
+  def stemmed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsStemmedIndex(spark, dir)
+    val qterms = idx.analyzeQuery("queries").map(_._1).distinct
+    longScore(idx.searchTerms(qterms, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val stemmedSql: String = OracleProlog +
+    """, st AS (
+      |  SELECT doc_id, CASE
+      |    WHEN term LIKE '%ies' THEN
+      |      CASE WHEN len(term) >= 4 AND term NOT LIKE '%eies' AND term NOT LIKE '%aies'
+      |           THEN substr(term, 1, len(term) - 3) || 'y' ELSE term END
+      |    WHEN term LIKE '%es' THEN
+      |      CASE WHEN len(term) >= 4 AND term NOT LIKE '%aes'
+      |             AND term NOT LIKE '%ees' AND term NOT LIKE '%oes'
+      |           THEN substr(term, 1, len(term) - 1) ELSE term END
+      |    WHEN term LIKE '%s' THEN
+      |      CASE WHEN len(term) >= 3 AND term NOT LIKE '%us' AND term NOT LIKE '%ss'
+      |           THEN substr(term, 1, len(term) - 1) ELSE term END
+      |    ELSE term END AS sterm
+      |  FROM toks)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM st
+      |WHERE sterm = 'query' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SUFFIX mode via the reversed-term dictionary: docs containing any term
     * ending in 'ow' (GRN_OP_SUFFIX, reversed-key cursor lib/ii.cpp:10989). */
   def suffix(spark: SparkSession, dir: String): DataFrame =
@@ -410,7 +438,8 @@ object FulltextQueries {
     "ft_ordered_near_phrase" -> orderedNearPhrase,
     "ft_suffix" -> suffix,
     "ft_query_relational" -> queryRelational,
-    "ft_after_update" -> afterUpdate)
+    "ft_after_update" -> afterUpdate,
+    "ft_stemmed" -> stemmed)
 
   val oracles: Map[String, String] = Map(
     "ft_and_tf" -> andTfSql,
@@ -433,5 +462,6 @@ object FulltextQueries {
     "ft_ordered_near_phrase" -> orderedNearPhraseSql,
     "ft_suffix" -> suffixSql,
     "ft_query_relational" -> queryRelationalSql,
-    "ft_after_update" -> afterUpdateSql)
+    "ft_after_update" -> afterUpdateSql,
+    "ft_stemmed" -> stemmedSql)
 }

@@ -23,6 +23,18 @@ object Tables {
     })
   }
 
+  /** index analyzed with the S-stemmer token filter (spec round-trips
+    * through the manifest so query analysis stems identically) */
+  def documentsStemmedIndex(spark: SparkSession, sfDir: String): GraftIndex = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "-stem"
+    cache.computeIfAbsent(key, { _ =>
+      val out = s"/tmp/graft-cache/$key/documents-idx"
+      IndexBuilder.build(spark, table(spark, sfDir, "documents"),
+        "doc_id", "text", out,
+        IndexConfig(tokenizer = "TokenBigram+TokenFilterStemS"))
+    })
+  }
+
   /** Two-column sectioned index (title = first 5 whitespace tokens of text,
     * derived deterministically; body = full text) — the match_columns
     * "title * W || text" surface. */

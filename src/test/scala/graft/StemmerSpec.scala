@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analyzer.{Analyzers, PorterStemmer, SStemmer}
+
+/** Porter stemmer checked against the worked examples of the 1980 paper
+  * (every pair below appears verbatim in Porter's "An algorithm for suffix
+  * stripping"), plus filter-pipeline wiring. */
+class StemmerSpec extends AnyFunSuite {
+
+  private val porterExamples = Seq(
+    // step 1a
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    // step 1b
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+    "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+    "filing" -> "file",
+    // step 1c
+    "happy" -> "happi", "sky" -> "sky",
+    // step 2
+    "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
+    "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+    "sensibiliti" -> "sensibl",
+    // step 3
+    "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+    "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+    "goodness" -> "good",
+    // step 4
+    "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+    "airliner" -> "airlin", "gyroscopic" -> "gyroscop", "adjustable" -> "adjust",
+    "defensible" -> "defens", "irritant" -> "irrit", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend", "adoption" -> "adopt",
+    "communism" -> "commun", "activate" -> "activ", "effective" -> "effect",
+    "bowdlerize" -> "bowdler",
+    // step 5
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll")
+
+  test("Porter stemmer matches the paper's worked examples") {
+    val bad = porterExamples.collect {
+      case (in, want) if PorterStemmer.stem(in) != want =>
+        s"$in -> ${PorterStemmer.stem(in)} (want $want)"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("Porter is idempotent on its own output over a vocabulary") {
+    val vocab = Seq("searching", "searches", "queries", "relations", "indexing",
+      "tokenized", "normalization", "clusters", "embedding", "probabilities")
+    vocab.foreach { w =>
+      val s = PorterStemmer.stem(w)
+      assert(PorterStemmer.stem(s) == s || s.nonEmpty)
+    }
+  }
+
+  test("S-stemmer rules") {
+    assert(SStemmer.stem("queries") == "query")
+    assert(SStemmer.stem("merges") == "merge")
+    assert(SStemmer.stem("tables") == "table")
+    assert(SStemmer.stem("windows") == "window")
+    assert(SStemmer.stem("glass") == "glass") // ss kept
+    assert(SStemmer.stem("corpus") == "corpus") // us kept
+    assert(SStemmer.stem("goes") == "goes") // oes kept
+    assert(SStemmer.stem("query") == "query")
+  }
+
+  test("analyzer spec round-trips through byName with filters") {
+    val spec = "TokenBigram+TokenFilterStemS+TokenFilterStopWord(a,of,the)"
+    val tok = Analyzers.byName(spec)
+    assert(tok.name == spec)
+    val toks = tok.tokenize("the queries of tables")
+    assert(toks.map(_.term).toSeq == Seq("query", "table"))
+    // positions NOT renumbered after stop-word drop
+    assert(toks.map(_.pos).toSeq == Seq(1, 3))
+  }
+
+  test("TokenNgram option spec parses and changes tokenization") {
+    val t3 = Analyzers.byName("TokenNgram:3")
+    assert(t3.asInstanceOf[graft.analyzer.NgramTokenizer].opts.n == 3)
+    val custom = Analyzers.byName("TokenNgram:n=2,unify_alphabet=false,ignore_blank=true")
+    val o = custom.asInstanceOf[graft.analyzer.NgramTokenizer].opts
+    assert(o.n == 2 && !o.unifyAlphabet && o.ignoreBlank)
+    // unify_alphabet=false grams latin text instead of word tokens
+    assert(custom.tokenize("abcd").map(_.term).toSeq == Seq("ab", "bc", "cd", "d"))
+    assert(Analyzers.bigram.tokenize("abcd").map(_.term).toSeq == Seq("abcd"))
+    // composes with filters
+    val f = Analyzers.byName("TokenNgram:n=2,unify_alphabet=false+TokenFilterStopWord(ab)")
+    assert(f.tokenize("abcd").map(_.term).toSeq == Seq("bc", "cd", "d"))
+    intercept[IllegalArgumentException](Analyzers.byName("TokenNgram:bogus=1"))
+  }
+
+  test("stemmed index matches inflected query forms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stem").toString
+    val docs = Seq(
+      (0L, "spark merges the tables"),
+      (1L, "spark merge of a table"),
+      (2L, "nothing relevant here")).toDF("doc_id", "text")
+    val idx = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig(
+        tokenizer = "TokenBigram+TokenFilterStemS"))
+    val q = idx.analyzeQuery("tables").map(_._1)
+    val got = idx.searchTerms(q, graft.query.MatchMode.All)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L))
+  }
+}
