@@ -110,6 +110,55 @@ object ExtraQueries {
       |FROM documents WHERE regexp_matches(text, '\b(vector|spark)\b')
       |ORDER BY doc_id""".stripMargin
 
+  /** TERM_EXTRACT: dictionary terms found as substrings of a target string
+    * (lib/grn_ii.h:234 GRN_OP_TERM_EXTRACT; tag-extraction use case). */
+  def termExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsIndex(spark, dir).termExtract("sparkjoinwindowdup")
+
+  val termExtractSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |df AS (SELECT DISTINCT term FROM toks)
+      |SELECT CAST(i - 1 AS INT) AS pos, term
+      |FROM df, range(1, 19) r(i)
+      |WHERE substr('sparkjoinwindowdup', CAST(i AS INT), len(term)) = term
+      |ORDER BY pos, term""".stripMargin
+
+  /** html_untag (reference plugin function html_untag) over synthetic
+    * markup wrapped around the corpus text */
+  def htmlUntag(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.html_untag(
+          concat(lit("<p class=\"d\">"), col("text"), lit("</p><br>"))).as("plain"))
+      .orderBy("doc_id")
+
+  val htmlUntagSql: String =
+    """SELECT doc_id,
+      |  regexp_replace('<p class="d">' || text || '</p><br>', '<[^>]*>', '', 'g') AS plain
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** query_expand (lib/proc/proc_query.cpp:230): synonym-expanded query —
+    * 'spark' rewrites to (spark OR flink) before evaluation */
+  def queryExpand(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val node = graft.operators.Select.expandQuery(
+      graft.query.QueryParser.parse("spark +window"),
+      Map("spark" -> Seq("spark", "stream")))
+    graft.operators.Select.eval(idx, node, graft.query.ScoreMode.Tf)
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val queryExpandSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |syn AS (SELECT doc_id, sum(tf) AS s FROM tf
+      |        WHERE term IN ('spark','stream') GROUP BY 1),
+      |w AS (SELECT doc_id, tf AS s FROM tf WHERE term = 'window')
+      |SELECT syn.doc_id, CAST(syn.s + w.s AS BIGINT) AS score
+      |FROM syn JOIN w USING (doc_id)
+      |ORDER BY syn.doc_id""".stripMargin
+
   /** in_records(table, ...) — membership with per-column comparison modes
     * (lib/proc/proc_in_records.c). */
   def inRecords(spark: SparkSession, dir: String): DataFrame = {
@@ -187,24 +236,55 @@ object ExtraQueries {
       |FROM toks CROSS JOIN n
       |GROUP BY term ORDER BY term""".stripMargin
 
-  /** geo_distance (rectangular variant, lib/geo.c) over synthetic points */
-  def geoDistance(spark: SparkSession, dir: String): DataFrame =
+  /** deterministic synthetic points from the customer table */
+  private def geoPoints(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "customer")
       .select(col("c_custkey"),
-        (abs(col("c_acctbal")) % 90.0).as("lat"),
-        (col("c_custkey") % 180).cast("double").as("lon"))
+        ((abs(col("c_acctbal")) % 120.0) - 60.0).as("lat"),
+        ((col("c_custkey") % 360).cast("double") - 180.0).as("lon"))
+
+  /** geo_distance, spherical (haversine) variant — lib/geo.c:2268; output
+    * floored to whole meters (trig libm ULPs must not flip the hash) */
+  def geoDistance(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
       .select(col("c_custkey"),
-        (floor(sqrt(col("lat") * col("lat") + col("lon") * col("lon")) * lit(111.32) * 10000)
-          / 10000.0).as("dist_km"))
+        floor(graft.functions.Geo.distanceSphere(
+          col("lat"), col("lon"), lit(35.0), lit(139.0))).cast("long").as("dist_m"))
       .orderBy("c_custkey")
 
   val geoDistanceSql: String =
     """WITH pts AS (
-      |  SELECT c_custkey, abs(c_acctbal) % 90.0 AS lat,
-      |    CAST(c_custkey % 180 AS DOUBLE) AS lon
+      |  SELECT c_custkey, (abs(c_acctbal) % 120.0) - 60.0 AS lat,
+      |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
       |  FROM customer)
       |SELECT c_custkey,
-      |  floor(sqrt(lat * lat + lon * lon) * 111.32 * 10000) / 10000.0 AS dist_km
+      |  CAST(floor(2.0 * 6371009.0 * asin(sqrt(
+      |    pow(sin(radians(35.0 - lat) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(35.0)) *
+      |    pow(sin(radians(139.0 - lon) / 2), 2)))) AS BIGINT) AS dist_m
+      |FROM pts ORDER BY c_custkey""".stripMargin
+
+  /** grn_geo_in_circle (lib/geo.c:999) + grn_geo_in_rectangle (:1223) */
+  def geoIn(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
+      .select(col("c_custkey"),
+        graft.functions.Geo.inCircle(col("lat"), col("lon"),
+          lit(35.0), lit(139.0), lit(3000000.0)).as("in_circle"),
+        graft.functions.Geo.inRectangle(col("lat"), col("lon"),
+          lit(50.0), lit(100.0), lit(0.0), lit(160.0)).as("in_rect"))
+      .orderBy("c_custkey")
+
+  val geoInSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey, (abs(c_acctbal) % 120.0) - 60.0 AS lat,
+      |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  2.0 * 6371009.0 * asin(sqrt(
+      |    pow(sin(radians(35.0 - lat) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(35.0)) *
+      |    pow(sin(radians(139.0 - lon) / 2), 2))) <= 3000000.0 AS in_circle,
+      |  (lat <= 50.0 AND lat >= 0.0 AND lon >= 100.0 AND lon <= 160.0) AS in_rect
       |FROM pts ORDER BY c_custkey""".stripMargin
 
   /** query-syntax evaluation: `spark +join -dup` (default-AND, AND-NOT)
@@ -280,7 +360,11 @@ object ExtraQueries {
     "logical_count" -> logicalCount,
     "drilldown_labeled" -> drilldownLabeled,
     "term_df_ratio" -> termDfRatio,
-    "geo_distance" -> geoDistance)
+    "geo_distance" -> geoDistance,
+    "geo_in" -> geoIn,
+    "term_extract" -> termExtract,
+    "html_untag" -> htmlUntag,
+    "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
     "ft_query_syntax" -> querySyntaxSql,
@@ -295,5 +379,9 @@ object ExtraQueries {
     "logical_count" -> logicalCountSql,
     "drilldown_labeled" -> drilldownLabeledSql,
     "term_df_ratio" -> termDfRatioSql,
-    "geo_distance" -> geoDistanceSql)
+    "geo_distance" -> geoDistanceSql,
+    "geo_in" -> geoInSql,
+    "term_extract" -> termExtractSql,
+    "html_untag" -> htmlUntagSql,
+    "ft_query_expand" -> queryExpandSql)
 }

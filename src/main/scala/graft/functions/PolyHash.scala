@@ -58,4 +58,8 @@ object GraftFunctions {
   /** shingle base hash for minhash (base 31, mod 1e9+7) */
   def shingle_hash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c), 31L, HashMod))
+
+  /** strip HTML/XML tags (reference plugin function html_untag) */
+  def html_untag(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "<[^>]*>", "")
 }

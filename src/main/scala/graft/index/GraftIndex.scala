@@ -258,6 +258,36 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     else searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
   }
 
+  /** GRN_OP_TERM_EXTRACT (lib/grn_ii.h:234): every dictionary term occurring
+    * as a substring of `text`, with its char offset. The candidate set
+    * (|text| x maxTermLen substrings) is tiny and broadcast against the big
+    * dictionary — the scan side stays distributed. */
+  def termExtract(text: String, maxTermLen: Int = 32): DataFrame = {
+    val cands = (0 until text.length).flatMap { i =>
+      (1 to math.min(maxTermLen, text.length - i)).map(l => (i, text.substring(i, i + l)))
+    }
+    val candDf = spark.createDataFrame(cands).toDF("pos", "term")
+    terms.join(broadcast(candDf), Seq("term"))
+      .select($"pos", $"term").orderBy($"pos", $"term")
+  }
+
+  /** greedy longest-match segmentation over termExtract hits (the tag
+    * extraction use of TERM_EXTRACT) */
+  def termExtractSegments(text: String, maxTermLen: Int = 32): Seq[(Int, String)] = {
+    val byPos = termExtract(text, maxTermLen).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(_._1).map { case (p, hits) => p -> hits.map(_._2).maxBy(_.length) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var p = 0
+    while (p < text.length) {
+      byPos.get(p) match {
+        case Some(t) => out += ((p, t)); p += t.length
+        case None => p += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Fuzzy expansion: terms within edit distance (GRN_OP_FUZZY,
     * /root/reference/lib/ii.cpp:11116-11208) — distributed levenshtein over
     * the term dictionary with a cheap length prefilter. */

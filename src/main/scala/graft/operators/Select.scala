@@ -47,6 +47,21 @@ object Select {
     dfs.reduce(_.unionByName(_))
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
 
+  /** query_expand (lib/proc/proc_query.cpp:230): rewrite every term leg
+    * into an OR of its synonym set before evaluation; non-term legs and
+    * terms without an entry pass through. */
+  def expandQuery(node: Node, synonyms: Map[String, Seq[String]]): Node = node match {
+    case TermQ(t, w) => synonyms.get(t) match {
+      case Some(syns) if syns.nonEmpty =>
+        syns.map(s => TermQ(s, w): Node).reduceLeft(OrQ(_, _))
+      case _ => node
+    }
+    case AndQ(l, r) => AndQ(expandQuery(l, synonyms), expandQuery(r, synonyms))
+    case OrQ(l, r) => OrQ(expandQuery(l, synonyms), expandQuery(r, synonyms))
+    case NotQ(l, r) => NotQ(expandQuery(l, synonyms), expandQuery(r, synonyms))
+    case other => other
+  }
+
   /** relational leg on the source table: matched records score 1
     * (non-index predicate semantics of --query, lib/expr.c comparison ops) */
   private def relFilter(source: DataFrame, c: String, op: String, v: String): DataFrame = {
