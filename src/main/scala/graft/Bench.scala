@@ -37,6 +37,8 @@ object Bench {
     // The build cost is reported separately (gate_index_build JSON field).
     val gateBuildSec = time {
       graft.api.Tables.documentsIndex(spark, sfDir)
+      graft.api.Tables.documentsSectionedIndex(spark, sfDir)
+      graft.api.Tables.documentsStemmedIndex(spark, sfDir)
       Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")
         .foreach(t => graft.api.Tables.table(spark, sfDir, t).count())
     }

@@ -215,13 +215,14 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
   }
 }
 
-/** Whitespace tokenizer — TokenDelimit
-  * (/root/reference/lib/tokenizers.c:200-446, registration :3111). */
-final class DelimitTokenizer extends Tokenizer {
-  val name = "TokenDelimit"
+/** Delimiter tokenizer — TokenDelimit (whitespace) and TokenDelimitNull
+  * (NUL-separated input, e.g. pre-tokenized feeds)
+  * (/root/reference/lib/tokenizers.c:200-446, registration :3111, :3119). */
+final class DelimitTokenizer(val name: String = "TokenDelimit",
+    delimiter: String = "\\s+") extends Tokenizer {
   def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
     val norm = Normalizer.normalize(raw)
-    val parts = norm.text.split("\\s+").filter(_.nonEmpty)
+    val parts = norm.text.split(delimiter).filter(_.nonEmpty)
     val out = parts.zipWithIndex.map { case (t, i) => Token(t, i, 0) }
     if (out.nonEmpty) out(out.length - 1) = out(out.length - 1)
       .copy(status = TokenStatus.Last)
@@ -327,6 +328,7 @@ object Analyzers {
   val bigramIgnoreBlank = new NgramTokenizer(
     NgramOptions(n = 2, ignoreBlank = true), "TokenBigramIgnoreBlank")
   val delimit = new DelimitTokenizer
+  val delimitNull = new DelimitTokenizer("TokenDelimitNull", "\u0000+")
 
   private def filterByName(spec: String): TokenFilter = {
     val p = spec.indexOf('(')
@@ -364,6 +366,7 @@ object Analyzers {
     case "TokenBigramSplitSymbolAlphaDigit" => bigramSplitSymbolAlphaDigit
     case "TokenBigramIgnoreBlank" => bigramIgnoreBlank
     case "TokenDelimit" => delimit
+    case "TokenDelimitNull" => delimitNull
     case other if other.startsWith("TokenNgram:") =>
       // option surface of grn_ngram_options
       // (/root/reference/lib/tokenizers.c:452-463): either a bare gram size

@@ -110,6 +110,27 @@ object ExtraQueries {
       |FROM documents WHERE regexp_matches(text, '\b(vector|spark)\b')
       |ORDER BY doc_id""".stripMargin
 
+  /** json_extract over a derived JSON column (reference function
+    * json_extract; native get_json_object underneath) */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val j = concat(lit("{\"n\":"), col("n_chars"), lit(",\"lang\":\""),
+      col("lang"), lit("\"}"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        get_json_object(j, "$.lang").as("jlang"),
+        get_json_object(j, "$.n").cast("long").as("jn"))
+      .orderBy("doc_id")
+  }
+
+  val jsonExtractSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, '{"n":' || n_chars || ',"lang":"' || lang || '"}' AS j
+      |  FROM documents)
+      |SELECT doc_id,
+      |  json_extract_string(j, '$.lang') AS jlang,
+      |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** TERM_EXTRACT: dictionary terms found as substrings of a target string
     * (lib/grn_ii.h:234 GRN_OP_TERM_EXTRACT; tag-extraction use case). */
   def termExtract(spark: SparkSession, dir: String): DataFrame =
@@ -336,7 +357,9 @@ object ExtraQueries {
     val idx = Tables.documentsIndex(spark, dir)
     graft.operators.Select.select(idx, graft.operators.Select.Request(
         query = "spark", score = graft.query.ScoreMode.Tf,
-        sortKeys = Seq(("score", false), ("doc_id", true)), offset = 2, limit = 5))
+        // reference sort-key string syntax parsed, not hand-built
+        sortKeys = graft.operators.Select.parseSortKeys("-_score, +_id"),
+        offset = 2, limit = 5))
       .select(col("doc_id"), col("score").cast("long").as("score"))
   }
 
@@ -364,6 +387,7 @@ object ExtraQueries {
     "geo_in" -> geoIn,
     "term_extract" -> termExtract,
     "html_untag" -> htmlUntag,
+    "json_extract" -> jsonExtract,
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +407,6 @@ object ExtraQueries {
     "geo_in" -> geoInSql,
     "term_extract" -> termExtractSql,
     "html_untag" -> htmlUntagSql,
+    "json_extract" -> jsonExtractSql,
     "ft_query_expand" -> queryExpandSql)
 }

@@ -47,6 +47,24 @@ object Select {
     dfs.reduce(_.unionByName(_))
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
 
+  /** groonga sort-key string syntax: "-_score, +_id" → (col, asc) pairs;
+    * pseudo columns _score/_id/_key map to score/doc_id/key
+    * (grn_table_sort_key_from_str, lib/sort.c). */
+  def parseSortKeys(spec: String): Seq[(String, Boolean)] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { k =>
+      val (asc, name) =
+        if (k.startsWith("-")) (false, k.drop(1).trim)
+        else if (k.startsWith("+")) (true, k.drop(1).trim)
+        else (true, k)
+      val col = name match {
+        case "_score" => "score"
+        case "_id" => "doc_id"
+        case "_key" => "key"
+        case other => other
+      }
+      (col, asc)
+    }
+
   /** query_expand (lib/proc/proc_query.cpp:230): rewrite every term leg
     * into an OR of its synonym set before evaluation; non-term legs and
     * terms without an entry pass through. */
