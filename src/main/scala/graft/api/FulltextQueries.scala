@@ -354,6 +354,29 @@ object FulltextQueries {
       |FROM m JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
       |ORDER BY m.doc_id""".stripMargin
 
+  /** NEAR_PHRASE_PRODUCT: ("batch batch" OR "spark") within 12 of "dup" —
+    * one alternative from each group inside the window
+    * (lib/ii.cpp:12903+). */
+  def nearPhraseProduct(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir).searchNearPhraseProduct(
+      Seq(Seq("batch batch", "spark"), Seq("dup")), maxInterval = 12))
+
+  val nearPhraseProductSql: String = OracleProlog +
+    """, pbb AS (
+      |  SELECT a.doc_id, a.pos AS p FROM ptoks a
+      |  JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.term = 'batch' AND b.term = 'batch'),
+      |g1 AS (SELECT doc_id, p FROM pbb
+      |       UNION SELECT doc_id, pos AS p FROM ptoks WHERE term = 'spark'),
+      |g2 AS (SELECT doc_id, pos AS p FROM ptoks WHERE term = 'dup'),
+      |m AS (SELECT DISTINCT g1.doc_id FROM g1
+      |      JOIN g2 ON g1.doc_id = g2.doc_id AND abs(g1.p - g2.p) <= 12),
+      |c1 AS (SELECT doc_id, count(*) AS n FROM g1 GROUP BY 1),
+      |c2 AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY 1)
+      |SELECT m.doc_id, CAST(c1.n + c2.n AS BIGINT) AS score
+      |FROM m JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
+
   /** weighted multi-column match — `--match_columns "title * 10 || text"`
     * over the sectioned (sid-carrying) index: score = 10*tf_title + tf_text,
     * match if the term occurs in either section
@@ -436,6 +459,7 @@ object FulltextQueries {
     "ft_match_columns_and" -> matchColumnsAnd,
     "ft_near_phrase" -> nearPhrase,
     "ft_ordered_near_phrase" -> orderedNearPhrase,
+    "ft_near_phrase_product" -> nearPhraseProduct,
     "ft_suffix" -> suffix,
     "ft_query_relational" -> queryRelational,
     "ft_after_update" -> afterUpdate,
@@ -460,6 +484,7 @@ object FulltextQueries {
     "ft_match_columns_and" -> matchColumnsAndSql,
     "ft_near_phrase" -> nearPhraseSql,
     "ft_ordered_near_phrase" -> orderedNearPhraseSql,
+    "ft_near_phrase_product" -> nearPhraseProductSql,
     "ft_suffix" -> suffixSql,
     "ft_query_relational" -> queryRelationalSql,
     "ft_after_update" -> afterUpdateSql,

@@ -41,6 +41,48 @@ object RelationalQueries {
       |  round(avg(l_discount), 4) AS mean_disc
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** aggregator_sd — standard deviation calc type (the one aggregator proc
+    * round 1 left ungated); population sd, floored at 1e-4 so float
+    * summation order cannot flip the hash */
+  def aggSd(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg((floor(stddev_pop(col("l_quantity")) * 10000) / 10000.0).as("sd_qty"),
+        count(lit(1)).as("nsubrecs"))
+      .orderBy("l_returnflag")
+
+  val aggSdSql: String =
+    """SELECT l_returnflag,
+      |  floor(stddev_pop(l_quantity) * 10000) / 10000.0 AS sd_qty,
+      |  count(*) AS nsubrecs
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** nested drilldown: drilldown over a drilldown via a reference column —
+    * matched orders faceted by customer nation, then nations faceted by
+    * region (drilldowns[label].table chaining, proc_select.cpp:483+) */
+  def drilldownNested(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val level1 = orders.where(col("o_orderstatus") === "O")
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("nsubrecs"))
+    level1.join(broadcast(nation), level1("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("nsubrecs")).as("n_orders"))
+      .orderBy("n_regionkey")
+  }
+
+  val drilldownNestedSql: String =
+    """WITH l1 AS (
+      |  SELECT c_nationkey, count(*) AS nsubrecs
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'O' GROUP BY 1)
+      |SELECT n_regionkey, count(*) AS n_nations,
+      |  CAST(sum(nsubrecs) AS BIGINT) AS n_orders
+      |FROM l1 JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // accessor path o_custkey.c_nationkey.n_name = chained N:1 reference
   // columns (grn_obj_get_accessor, lib/db.c:5403) -> broadcast-able joins
   def drilldownRef(spark: SparkSession, dir: String): DataFrame = {
@@ -279,6 +321,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "agg_sd" -> aggSd,
+    "drilldown_nested" -> drilldownNested,
     "drilldown_ref" -> drilldownRef,
     "sort_topk" -> sortTopK,
     "window_fns" -> windowFns,
@@ -296,6 +340,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "agg_sd" -> aggSdSql,
+    "drilldown_nested" -> drilldownNestedSql,
     "drilldown_ref" -> drilldownRefSql,
     "sort_topk" -> sortTopKSql,
     "window_fns" -> windowFnsSql,

@@ -227,6 +227,44 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       .toDF("doc_id", "score")
   }
 
+  /** NEAR_PHRASE_PRODUCT / ORDERED_NEAR_PHRASE_PRODUCT: each group is a
+    * set of alternative phrases; one alternative per group must occur, all
+    * landing inside `maxInterval` (lib/ii.cpp:12903+). Alternatives whose
+    * terms are absent from the dictionary are dropped; a group with no
+    * viable alternative yields an empty result. */
+  def searchNearPhraseProduct(
+      groups: Seq[Seq[String]],
+      maxInterval: Int,
+      ordered: Boolean = false,
+      score: ScoreMode = ScoreMode.Tf,
+      topK: Int = 0): DataFrame = {
+    val mode = MatchMode.NearPhraseProduct(maxInterval, ordered)
+    requirePositionsFor(MatchMode.Phrase)
+    val analyzed: Seq[Seq[Seq[(String, Int)]]] = groups.map(_.map(analyzeQuery))
+    if (analyzed.isEmpty || analyzed.exists(_.forall(_.isEmpty))) return emptyResult
+    val allTerms = analyzed.flatten.flatten.map(_._1).distinct
+    val stats = termStats(allTerms)
+    val rts = analyzed.zipWithIndex.flatMap { case (alts, gid) =>
+      alts.zipWithIndex.flatMap { case (toks, aid) =>
+        // drop alternatives containing unknown terms entirely
+        if (toks.isEmpty || !toks.forall(t => stats.contains(t._1))) Nil
+        else toks.map { case (t, p) =>
+          ResolvedTerm(t, stats(t).df, Bm25.idf(meta.nDocs, stats(t).df), 1.0, p, gid, aid)
+        }
+      }
+    }
+    val liveGroups = rts.map(_.phraseId).distinct
+    if (liveGroups.size < groups.size) return emptyResult
+    val queryTerms = rts.map(_.term).distinct
+    val (td, tg) = tombstones
+    val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
+      sectioned = meta.sections.nonEmpty, tombDocs = td, tombGens = tg)
+    val blocks = postings.where($"term".isin(queryTerms: _*)).as[PostingBlockRow]
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
+      .toDF("doc_id", "score")
+  }
+
   /** Prefix expansion over the sorted term dictionary (pat-cursor analogue,
     * /root/reference/lib/ii.cpp:10286-10470 EX_PREFIX). */
   def expandPrefix(prefix: String, maxExpansions: Int = 1024): Seq[String] =

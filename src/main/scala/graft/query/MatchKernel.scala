@@ -24,6 +24,12 @@ object MatchMode {
     * (GRN_OP_NEAR_PHRASE / GRN_OP_ORDERED_NEAR_PHRASE,
     * /root/reference/lib/ii.cpp:11210+, 12903) */
   final case class NearPhrase(maxInterval: Int, ordered: Boolean) extends MatchMode
+  /** NEAR_PHRASE with ALTERNATIVES: each phrase group is a set of
+    * alternatives (keyed by ResolvedTerm.altId) and a group's occurrence
+    * starts are the union over its alternatives — one alternative per
+    * group must land inside the window
+    * (GRN_OP_NEAR_PHRASE_PRODUCT / ORDERED_*, lib/ii.cpp:12903+) */
+  final case class NearPhraseProduct(maxInterval: Int, ordered: Boolean) extends MatchMode
   /** at least `min` distinct terms present (GRN_OP_QUORUM) */
   final case class Quorum(min: Int) extends MatchMode
 }
@@ -43,7 +49,10 @@ final case class ResolvedTerm(
     term: String, df: Long, idf: Double, weight: Double, qpos: Int,
     /** phrase-group id for NearPhrase composition (0 for everything else);
       * qpos is then the offset within the phrase */
-    phraseId: Int = 0)
+    phraseId: Int = 0,
+    /** alternative id within the phrase group (NEAR_PHRASE_PRODUCT: a
+      * group's starts are the UNION over its alternatives) */
+    altId: Int = 0)
 
 final case class ResolvedQuery(
     terms: Array[ResolvedTerm],
@@ -345,6 +354,7 @@ object MatchKernel {
         else conjunctive(q, cursors)
       case MatchMode.Any => disjunctive(q, cursors, minMatch = 1)
       case MatchMode.Quorum(m) => disjunctive(q, cursors, minMatch = m)
+      case MatchMode.NearPhraseProduct(mi, ord) => productMatch(q, cursors, mi, ord)
     }
     if (q.topK > 0) topK(results, q.topK) else results
   }
@@ -506,6 +516,60 @@ object MatchKernel {
         }
       case _ => Some(0.0)
     }
+  }
+
+  /** NEAR_PHRASE_PRODUCT: doc-at-a-time walk (a group matches via ANY of
+    * its alternatives, so the conjunctive all-terms gate does not apply);
+    * per group, starts = union over fully-aligned alternatives. */
+  private def productMatch(q: ResolvedQuery, cursors0: Array[TermCursor],
+      maxInterval: Int, ordered: Boolean): Iterator[(Long, Double)] = {
+    val live = mutable.ArrayBuffer(cursors0.filterNot(_.exhausted).toSeq: _*)
+    if (live.isEmpty) return Iterator.empty
+    // how many terms each (group, alternative) needs aligned
+    val expected: Map[(Int, Int), Int] =
+      q.terms.groupBy(t => (t.phraseId, t.altId)).map { case (k, v) => k -> v.length }
+    val groupIds = q.terms.map(_.phraseId).distinct.sorted
+    val out = new mutable.ArrayBuffer[(Long, Double)]()
+    while (live.nonEmpty) {
+      var minDoc = Long.MaxValue
+      live.foreach(c => if (c.doc < minDoc) minDoc = c.doc)
+      val aligned = live.filter(_.doc == minDoc).toArray
+      // group -> sid -> union of alternative starts
+      val groupStarts: Array[Map[Int, Array[Int]]] = groupIds.map { g =>
+        val bySid = new mutable.HashMap[Int, mutable.ArrayBuffer[Int]]()
+        aligned.filter(_.rt.phraseId == g).groupBy(_.rt.altId).foreach { case (a, cs) =>
+          if (cs.length == expected((g, a)))
+            phraseStartsBySid(cs).foreach { case (sid, st) =>
+              bySid.getOrElseUpdate(sid, new mutable.ArrayBuffer[Int]()) ++= st
+            }
+        }
+        bySid.map { case (sid, buf) => sid -> buf.distinct.sorted.toArray }.toMap
+      }
+      if (groupStarts.forall(_.nonEmpty)) {
+        val sharedSids = groupStarts.map(_.keySet).reduce(_ intersect _)
+        val okSid = sharedSids.exists { sid =>
+          val starts = groupStarts.map(_(sid))
+          if (ordered) orderedWindowExists(starts, maxInterval)
+          else minWindow(starts) <= maxInterval
+        }
+        if (okSid) {
+          var s = 0.0
+          groupStarts.foreach(_.foreach { case (sid, st) =>
+            s += st.length * q.sectionWeight(sid)
+          })
+          val score = q.score match {
+            case ScoreMode.Tf => s
+            case ScoreMode.Bm25(k1, b) =>
+              val idf = aligned.map(_.rt.idf).max
+              idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
+          }
+          out += ((minDoc, score))
+        }
+      }
+      aligned.foreach(_.next())
+      live.filterInPlace(!_.exhausted)
+    }
+    out.iterator
   }
 
   /** one phrase group's occurrence START positions per section: position p

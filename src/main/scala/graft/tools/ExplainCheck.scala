@@ -1,28 +1,67 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Plan sanity: posting scans must push the term IN filter + prune columns;
-  * document scans must prune to (doc_id, text). */
+/** Plan sanity asserts — fails loudly if a core path loses its expected
+  * physical shape:
+  *  - posting scans push the term IN filter into parquet + prune columns
+  *  - document scans prune to the selected columns
+  *  - suffix expansion scans terms_rev with a StartsWith pushed filter
+  *  - `Select.eval` on a pure-term conjunction plans ONE posting scan
+  *  - dimension joins in drilldowns broadcast the small side
+  * Run: sbt "runMain graft.tools.ExplainCheck"
+  */
 object ExplainCheck {
+  private var failures = 0
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def check(name: String, cond: Boolean, detail: => String): Unit = {
+    if (cond) println(s"PLAN-OK   $name")
+    else { failures += 1; println(s"PLAN-FAIL $name\n$detail") }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val idx = graft.api.Tables.documentsIndex(spark, "/root/testdata/sf0.001")
+    val dir = "/root/testdata/sf0.001"
+    val idx = graft.api.Tables.documentsIndex(spark, dir)
     println("EXPLAIN-START")
-    val q = idx.postings.where(col("term").isin("spark", "join"))
-    println(q.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") || l.contains("FileScan"))
-      .mkString("\n"))
-    val d = graft.api.Tables.table(spark, "/root/testdata/sf0.001", "documents")
-      .select("doc_id", "text").where(col("doc_id") < 10)
-    println(d.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
-      .mkString("\n"))
+
+    // 1. term IN pushdown + column pruning on the postings scan
+    val p1 = plan(idx.postings.where(col("term").isin("spark", "join"))
+      .select("term", "bucket", "payload"))
+    check("postings term-IN pushdown", p1.contains("PushedFilters: [In(term"), p1)
+
+    // 2. documents scan prunes columns + pushes the id filter
+    val p2 = plan(graft.api.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 10))
+    check("documents pruned scan",
+      p2.contains("LessThan(doc_id") && p2.contains("ReadSchema") &&
+        !p2.contains("lang"), p2)
+
+    // 3. suffix expansion reads terms_rev with a StartsWith pushed filter
+    val revPath = s"${idx.path}/terms_rev"
+    val p3 = plan(spark.read.parquet(revPath).where(col("rterm").startsWith("wo")))
+    check("terms_rev suffix pushdown", p3.contains("StringStartsWith(rterm,wo"), p3)
+
+    // 4. pure-term AND compiles into ONE posting scan (no per-leg join)
+    val q4 = graft.operators.Select.eval(idx,
+      graft.query.QueryParser.parse("spark +join"), graft.query.ScoreMode.Tf)
+    val p4 = plan(q4)
+    val scans = p4.linesIterator.count(l => l.contains("FileScan") && l.contains("postings"))
+    check("term-AND single kernel scan", scans == 1,
+      s"expected 1 postings FileScan, saw $scans\n$p4")
+
+    // 5. drilldown dimension join broadcasts the small side
+    val p5 = plan(graft.api.RelationalQueries.drilldownNested(spark, dir))
+    check("nested drilldown broadcast join", p5.contains("BroadcastHashJoin"), p5)
+
     println("EXPLAIN-END")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -265,6 +265,31 @@ class IndexSpec extends AnyFunSuite {
     assert(gotO.keySet.subsetOf(got.keySet))
   }
 
+  test("near-phrase-product equals brute check (alternatives per group)") {
+    def starts(id: Long, words: Seq[String]): Seq[Int] = {
+      val toks = naive.tokenized(id)
+      val posOf = words.map(w => toks.filter(_.term == w).map(_.pos).toSet)
+      toks.filter(_.term == words.head).map(_.pos)
+        .filter(p => words.indices.forall(k => posOf(k).contains(p + k)))
+    }
+    val g1a = Seq("spark", "fulltext")
+    val g1b = Seq(headTerm(1))
+    val g2 = Seq(headTerm(3))
+    def brute(k: Int): Map[Long, Double] = corpus.flatMap { case (id, _) =>
+      val s1 = (starts(id, g1a) ++ starts(id, g1b)).distinct.sorted
+      val s2 = starts(id, g2)
+      val ok = s1.exists(a => s2.exists(b => math.abs(a - b) <= k))
+      if (ok) Some(id -> (s1.length + s2.length).toDouble) else None
+    }.toMap
+    val got = collectScores(index.searchNearPhraseProduct(
+      Seq(Seq("spark fulltext", headTerm(1)), Seq(headTerm(3))), 6))
+    assert(got.nonEmpty)
+    assert(got == brute(6))
+    // a group with only unknown alternatives yields empty
+    assert(index.searchNearPhraseProduct(
+      Seq(Seq("zzznotaterm"), Seq(headTerm(3))), 6).count() == 0)
+  }
+
   test("build is resumable: second call reuses the committed manifest") {
     val df = WebCorpus.generate(spark, nDocs, partitions = 4)
     val t0 = System.nanoTime()
