@@ -245,6 +245,37 @@ final class PatternTokenizer(pattern: String) extends Tokenizer {
   }
 }
 
+/** TokenTable — tokenize by GREEDY LONGEST MATCH against a fixed lexicon
+  * key set; unmatched chars are skipped
+  * (/root/reference/lib/tokenizers.c registration :3203). */
+final class TableTokenizer(keys: Set[String], val name: String = "TokenTable")
+    extends Tokenizer {
+  private val maxLen = if (keys.isEmpty) 0 else keys.iterator.map(_.length).max
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
+    val text = Normalizer.normalize(raw).text
+    val out = new ArrayBuffer[Token]()
+    var i = 0
+    var pos = 0
+    while (i < text.length) {
+      var found: String = null
+      var l = math.min(maxLen, text.length - i)
+      while (found == null && l >= 1) {
+        val cand = text.substring(i, i + l)
+        if (keys.contains(cand)) found = cand
+        l -= 1
+      }
+      if (found != null) {
+        out += Token(found, pos, 0)
+        pos += 1
+        i += found.length
+      } else i += 1
+    }
+    if (out.nonEmpty) out(out.length - 1) =
+      out(out.length - 1).copy(status = out(out.length - 1).status | TokenStatus.Last)
+    out.toArray
+  }
+}
+
 /** A token-stream transform applied after tokenization, index- AND
   * query-side (consistency comes from persisting the full analyzer spec in
   * the index manifest). Mirrors groonga's token_filters

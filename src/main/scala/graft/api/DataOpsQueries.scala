@@ -226,6 +226,31 @@ object DataOpsQueries {
       |SELECT vec_id, round(cos, 4) AS cos FROM scored
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  /** distance_inner_product / distance_l1_norm / distance_l2_norm_squared
+    * (lib/distance.cpp:99-330 family) against the query vector */
+  def vectorDistances(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Similarity
+    val qc = typedLit(queryVec(spark, dir).toSeq)
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(Similarity.innerProductDistance(col("embedding"), qc), 4).as("d_ip"),
+        round(Similarity.l1Distance(col("embedding"), qc), 4).as("d_l1"),
+        round(Similarity.l2SquaredDistance(col("embedding"), qc), 4).as("d_l2sq"))
+      .orderBy("vec_id")
+  }
+
+  val vectorDistancesSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(1.0 - list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b), 4) AS d_ip,
+      |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+      |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) AS d_l1,
+      |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+      |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) AS d_l2sq
+      |FROM embeddings CROSS JOIN q ORDER BY vec_id""".stripMargin
+
   // ---- text analysis ----
 
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
@@ -323,6 +348,7 @@ object DataOpsQueries {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopK,
+    "vector_distances" -> vectorDistances,
     "lang_id" -> langIdQ,
     "text_quality" -> qualityQ,
     "token_count" -> tokenCountQ,
@@ -339,6 +365,7 @@ object DataOpsQueries {
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_topk" -> annLshTopKSql,
+    "vector_distances" -> vectorDistancesSql,
     "lang_id" -> langIdSql,
     "text_quality" -> qualitySql,
     "token_count" -> tokenCountSql,

@@ -110,6 +110,31 @@ object ExtraQueries {
       |FROM documents WHERE regexp_matches(text, '\b(vector|spark)\b')
       |ORDER BY doc_id""".stripMargin
 
+  /** TokenDocumentVectorBM25 (lib/tokenizers.c:2316-2652): per-document
+    * BM25-weighted term vectors straight from the index; restricted to
+    * doc_id < 50 to keep the gate output bounded (weights still use
+    * corpus-wide df/avgdl). */
+  def docVectorsBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.DocVectors.bm25(Tables.documentsIndex(spark, dir))
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), col("term"), round(col("w"), 4).as("w"))
+      .orderBy("doc_id", "term")
+
+  val docVectorsBm25Sql: String =
+    """WITH tl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id, tf.term,
+      |  round(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+      |    tf * 3.0 / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)), 4) AS w
+      |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |WHERE tf.doc_id < 50 ORDER BY tf.doc_id, tf.term""".stripMargin
+
   /** json_extract over a derived JSON column (reference function
     * json_extract; native get_json_object underneath) */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
@@ -388,6 +413,7 @@ object ExtraQueries {
     "term_extract" -> termExtract,
     "html_untag" -> htmlUntag,
     "json_extract" -> jsonExtract,
+    "doc_vectors_bm25" -> docVectorsBm25,
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
@@ -408,5 +434,6 @@ object ExtraQueries {
     "term_extract" -> termExtractSql,
     "html_untag" -> htmlUntagSql,
     "json_extract" -> jsonExtractSql,
+    "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_query_expand" -> queryExpandSql)
 }

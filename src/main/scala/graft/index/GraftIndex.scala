@@ -296,6 +296,17 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     else searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
   }
 
+  /** prefix_rk_search (romaji-kana): dictionary terms whose reading starts
+    * with any kana expansion of the romaji prefix (reference proc
+    * prefix_rk_search; conversion table in graft.analyzer.Romaji). */
+  def expandPrefixRk(romajiPrefix: String, maxExpansions: Int = 1024): Seq[String] = {
+    val cands = graft.analyzer.Romaji.candidates(romajiPrefix)
+    if (cands.isEmpty) return Nil
+    val pred = cands.map(c => $"term".startsWith(c)).reduce(_ || _)
+    terms.where(pred).orderBy(desc("df")).limit(maxExpansions)
+      .select($"term").as[String].collect().toSeq.distinct
+  }
+
   /** GRN_OP_TERM_EXTRACT (lib/grn_ii.h:234): every dictionary term occurring
     * as a substring of `text`, with its char offset. The candidate set
     * (|text| x maxTermLen substrings) is tiny and broadcast against the big

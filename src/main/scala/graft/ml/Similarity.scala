@@ -24,6 +24,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
+  /** distance_inner_product (groonga returns 1 - a·b,
+    * lib/distance.cpp:99-330 family) */
+  def innerProductDistance(a: Column, b: Column): Column = lit(1.0) - dot(a, b)
+
+  /** distance_l1_norm: Σ|a_i - b_i| */
+  def l1Distance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** distance_l2_norm_squared: Σ(a_i - b_i)² */
+  def l2SquaredDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
   /** exact top-k by cosine to one query vector (ties: smaller id first) */
   def cosineTopK(vecs: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {

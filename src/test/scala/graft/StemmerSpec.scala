@@ -93,6 +93,52 @@ class StemmerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Analyzers.byName("TokenNgram:bogus=1"))
   }
 
+  test("romaji -> hiragana conversion and prefix candidates") {
+    import graft.analyzer.Romaji
+    assert(Romaji.toHiragana("kana") == Some("かな"))
+    assert(Romaji.toHiragana("shinkansen") == Some("しんかんせん"))
+    assert(Romaji.toHiragana("gakkou") == Some("がっこう"))
+    assert(Romaji.toHiragana("kyoto") == Some("きょと"))
+    assert(Romaji.toHiragana("xq") == None)
+    // prefix candidates: complete syllables convert, lone consonant expands
+    assert(Romaji.candidates("ka") == Seq("か"))
+    val k = Romaji.candidates("k")
+    assert(Set("か", "き", "く", "け", "こ", "きゃ").subsetOf(k.toSet))
+    val kak = Romaji.candidates("kak")
+    assert(kak.contains("かか") && kak.contains("かき"))
+    assert(Romaji.candidates("kan").contains("かん"))
+    assert(Romaji.candidates("gakk").exists(_.startsWith("がっ")))
+  }
+
+  test("prefix_rk_search over a kana dictionary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rk").toString
+    val docs = Seq(
+      (0L, "かな がっこう きょうと"),
+      (1L, "かき くも けん"),
+      (2L, "さくら すし")).toDF("doc_id", "text")
+    val idx = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig(tokenizer = "TokenDelimit"))
+    val viaK = idx.expandPrefixRk("k")
+    assert(viaK.toSet == Set("かな", "かき", "くも", "けん", "きょうと"))
+    assert(idx.expandPrefixRk("ka").toSet == Set("かな", "かき"))
+    assert(idx.expandPrefixRk("gakk").toSet == Set("がっこう"))
+    assert(idx.expandPrefixRk("sa").toSet == Set("さくら"))
+    assert(idx.expandPrefixRk("zz").isEmpty)
+  }
+
+  test("TokenTable greedy longest-match tokenization") {
+    val tok = new graft.analyzer.TableTokenizer(Set("ab", "abc", "cd", "x"))
+    // longest match wins: "abc" over "ab"; unmatched chars skipped
+    assert(tok.tokenize("abcdzx").map(_.term).toSeq == Seq("abc", "x"))
+    assert(tok.tokenize("abcd").map(_.term).toSeq == Seq("abc"))
+    assert(tok.tokenize("zzcdzz").map(_.term).toSeq == Seq("cd"))
+    assert(tok.tokenize("qqq").isEmpty)
+    // normalization applies before matching
+    assert(tok.tokenize("ABCD").map(_.term).toSeq == Seq("abc"))
+  }
+
   test("stemmed index matches inflected query forms") {
     val spark = TestSpark.spark
     import spark.implicits._
