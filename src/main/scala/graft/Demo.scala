@@ -45,6 +45,22 @@ object Demo {
     show("phrase", index.searchPhrase("inverted index posting list"))
     show("ja phrase (bigram path)", index.searchPhrase("全文検索"))
     println(s"[demo] prefix 'ka' -> ${index.expandPrefix("ka").take(8).mkString(",")}")
+    println(s"[demo] suffix 'ing' -> ${index.expandSuffix("ing").take(8).mkString(",")}")
+    show("near-phrase", index.searchNearPhrase(Seq("inverted index", "posting"), 12))
+    show("query 'spark +fulltext -crawl'",
+      graft.operators.Select.eval(index,
+        graft.query.QueryParser.parse("spark +fulltext -crawl"), ScoreMode.Tf))
+
+    // delete + upsert round-trip on the live index (same ids, new text)
+    val victim = index.searchTerms(Seq("spark")).select("doc_id")
+      .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    graft.streaming.IncrementalIndex.upsert(spark, out,
+      spark.createDataFrame(Seq((victim, "graftdemo upserted text"))).toDF("doc_id", "text"),
+      "doc_id", "text", "seg-demo-upsert")
+    val after = GraftIndex(spark, out)
+    show("upserted doc searchable", after.searchTerms(Seq("graftdemo")))
+    println(s"[demo] upsert: doc $victim no longer matches 'spark': " +
+      s"${after.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 0}")
     spark.stop()
   }
 }

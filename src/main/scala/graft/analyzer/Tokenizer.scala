@@ -303,6 +303,27 @@ final class SStemFilter extends TokenFilter {
   def apply(term: String): String = SStemmer.stem(term)
 }
 
+/** unify_kana (a NormalizerNFKC option in the reference,
+  * lib/normalizer.c options parsing): fold katakana to hiragana so both
+  * scripts match. Char classes are identical for both scripts, so applying
+  * it as a token filter yields the same gram stream as normalizing first. */
+final class UnifyKanaFilter extends TokenFilter {
+  val name = "TokenFilterUnifyKana"
+  def apply(term: String): String = {
+    var changed = false
+    val out = new Array[Char](term.length)
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      // katakana ァ(30A1)..ヶ(30F6) -> hiragana ぁ(3041)..ゖ(3096)
+      if (c >= 'ァ' && c <= 'ヶ') { out(i) = (c - 0x60).toChar; changed = true }
+      else out(i) = c
+      i += 1
+    }
+    if (changed) new String(out) else term
+  }
+}
+
 /** base tokenizer + ordered filter chain; the composed `name` is the full
   * spec ("TokenBigram+TokenFilterStem+TokenFilterStopWord(a,the)") and
   * round-trips through Analyzers.byName — what the manifest stores. */
@@ -374,6 +395,7 @@ object Analyzers {
         new StopWordFilter(args.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       case "TokenFilterStem" => new StemFilter
       case "TokenFilterStemS" => new SStemFilter
+      case "TokenFilterUnifyKana" => new UnifyKanaFilter
       case other => throw new IllegalArgumentException(s"unknown token filter: $other")
     }
   }

@@ -156,6 +156,33 @@ object ExtraQueries {
       |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** suggest-completion: df-ranked prefix candidates from the dictionary
+    * (plugins/suggest/suggest.c completion over a reading table; df plays
+    * the popularity column) */
+  def suggestComplete(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Suggest.complete(Tables.documentsIndex(spark, dir), "s", k = 10)
+
+  val suggestCompleteSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+      |SELECT term, CAST(df AS BIGINT) AS df FROM df
+      |WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 10""".stripMargin
+
+  /** suggest-correction: edit-distance candidates ranked (dist, df) */
+  def suggestCorrect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Suggest.correct(Tables.documentsIndex(spark, dir), "sparkk",
+      maxDistance = 2, k = 5)
+
+  val suggestCorrectSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+      |SELECT term, CAST(levenshtein(term, 'sparkk') AS INT) AS dist,
+      |  CAST(df AS BIGINT) AS df
+      |FROM df
+      |WHERE len(term) BETWEEN 4 AND 8
+      |  AND levenshtein(term, 'sparkk') <= 2 AND term <> 'sparkk'
+      |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin
+
   /** TERM_EXTRACT: dictionary terms found as substrings of a target string
     * (lib/grn_ii.h:234 GRN_OP_TERM_EXTRACT; tag-extraction use case). */
   def termExtract(spark: SparkSession, dir: String): DataFrame =
@@ -414,6 +441,8 @@ object ExtraQueries {
     "html_untag" -> htmlUntag,
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
+    "suggest_complete" -> suggestComplete,
+    "suggest_correct" -> suggestCorrect,
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +464,7 @@ object ExtraQueries {
     "html_untag" -> htmlUntagSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
+    "suggest_complete" -> suggestCompleteSql,
+    "suggest_correct" -> suggestCorrectSql,
     "ft_query_expand" -> queryExpandSql)
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.GraftIndex
+
+/** Suggest family (reference: plugins/suggest/suggest.c — completion,
+  * correction, suggestion over learned reading/co-occurrence tables).
+  * Spark-first re-expression over the index's own statistics: the term
+  * dictionary IS the reading table (df = popularity), so
+  *  - complete  = prefix scan (optionally romaji-kana) ranked by df
+  *  - correct   = edit-distance candidates ranked by (distance, df)
+  *  - suggest   = co-occurring terms of the query terms ranked by joint df
+  * Learned-log weighting would swap df for a click-count column — the
+  * plumbing is identical.
+  */
+object Suggest {
+
+  /** completion: dictionary terms starting with `prefix` (df-ranked,
+    * deterministic ties by term) */
+  def complete(idx: GraftIndex, prefix: String, k: Int = 10): DataFrame =
+    idx.terms.where(col("term").startsWith(prefix))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(k)
+
+  /** completion for a romaji prefix over a kana dictionary */
+  def completeRk(idx: GraftIndex, romajiPrefix: String, k: Int = 10): DataFrame = {
+    val cands = graft.analyzer.Romaji.candidates(romajiPrefix)
+    if (cands.isEmpty) return idx.terms.select(col("term"), col("df")).limit(0)
+    idx.terms.where(cands.map(c => col("term").startsWith(c)).reduce(_ || _))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(k)
+  }
+
+  /** correction: terms within `maxDistance` edits, nearest + most frequent
+    * first (deterministic ties by term) */
+  def correct(idx: GraftIndex, term: String, maxDistance: Int = 2, k: Int = 10): DataFrame =
+    idx.terms
+      .where(length(col("term"))
+        .between(term.length - maxDistance, term.length + maxDistance))
+      .withColumn("dist", levenshtein(lit(term), col("term")))
+      .where(col("dist") <= maxDistance && col("term") =!= term)
+      .groupBy(col("term"), col("dist")).agg(sum(col("df")).as("df"))
+      .orderBy(asc("dist"), desc("df"), asc("term")).limit(k)
+
+  /** suggestion: terms co-occurring with `term` in the corpus, by number of
+    * co-occurring docs (the co-occurrence table of the reference's learner,
+    * computed from the index instead of a query log) */
+  def suggest(idx: GraftIndex, term: String, k: Int = 10,
+      maxDocs: Int = 10000): DataFrame = {
+    import idx.spark.implicits._
+    val docs = idx.searchTerms(Seq(term)).select(col("doc_id")).limit(maxDocs)
+    // co-occurrence from the index itself: decode (co_term, doc) pairs and
+    // keep those in the matched doc set
+    val co = idx.postings.as[graft.index.PostingBlockRow]
+      .flatMap { b =>
+        val d = graft.codec.PostingCodec.decode(b.payload)
+        (0 until d.count).iterator.map(i => (b.term, d.docIds(i)))
+      }.toDF("co_term", "doc_id")
+    co.join(docs, Seq("doc_id"))
+      .where(col("co_term") =!= term)
+      .groupBy(col("co_term")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_docs"), asc("co_term")).limit(k)
+  }
+}

@@ -128,6 +128,37 @@ class StemmerSpec extends AnyFunSuite {
     assert(idx.expandPrefixRk("zz").isEmpty)
   }
 
+  test("unify_kana filter folds katakana to hiragana (index+query symmetric)") {
+    val tok = Analyzers.byName("TokenBigram+TokenFilterUnifyKana")
+    val kata = tok.tokenize("データベース").map(_.term).toSeq
+    val hira = tok.tokenize("でーたべーす").map(_.term).toSeq
+    assert(kata == hira, s"$kata vs $hira")
+    assert(kata.head == "でー")
+    // prolonged sound mark ー is not kana and passes through
+    assert(kata.forall(!_.exists(c => c >= 'ァ' && c <= 'ヶ')))
+  }
+
+  test("suggest complete/correct over a small index") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sugg").toString
+    val docs = Seq(
+      (0L, "spark sparse sort"), (1L, "spark sort"), (2L, "spork data"))
+      .toDF("doc_id", "text")
+    val idx = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig(tokenizer = "TokenBigram"))
+    val comp = graft.operators.Suggest.complete(idx, "sp", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(comp == Seq(("spark", 2L), ("spark", 2L)).distinct ++ Seq(("sparse", 1L), ("spork", 1L))
+      || comp == Seq(("spark", 2L), ("sparse", 1L), ("spork", 1L)))
+    val corr = graft.operators.Suggest.correct(idx, "spark", 1, 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(corr == Seq("spork")) // distance 1, 'sparse' is 2 away
+    val sugg = graft.operators.Suggest.suggest(idx, "spark", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sugg("sort") == 2L && sugg("sparse") == 1L && !sugg.contains("data"))
+  }
+
   test("TokenTable greedy longest-match tokenization") {
     val tok = new graft.analyzer.TableTokenizer(Set("ab", "abc", "cd", "x"))
     // longest match wins: "abc" over "ab"; unmatched chars skipped
