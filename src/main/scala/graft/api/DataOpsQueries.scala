@@ -233,9 +233,10 @@ object DataOpsQueries {
     val qc = typedLit(queryVec(spark, dir).toSeq)
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"),
-        round(Similarity.innerProductDistance(col("embedding"), qc), 4).as("d_ip"),
-        round(Similarity.l1Distance(col("embedding"), qc), 4).as("d_l1"),
-        round(Similarity.l2SquaredDistance(col("embedding"), qc), 4).as("d_l2sq"))
+        // + 0.0 folds IEEE negative zero (round(1 - dot(q,q), 4) = -0.0)
+        (round(Similarity.innerProductDistance(col("embedding"), qc), 4) + 0.0).as("d_ip"),
+        (round(Similarity.l1Distance(col("embedding"), qc), 4) + 0.0).as("d_l1"),
+        (round(Similarity.l2SquaredDistance(col("embedding"), qc), 4) + 0.0).as("d_l2sq"))
       .orderBy("vec_id")
   }
 
@@ -243,12 +244,12 @@ object DataOpsQueries {
     """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
       |  round(1.0 - list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b), 4) AS d_ip,
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b), 4) + 0.0 AS d_ip,
       |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-      |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) AS d_l1,
+      |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) + 0.0 AS d_l1,
       |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-      |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) AS d_l2sq
+      |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) + 0.0 AS d_l2sq
       |FROM embeddings CROSS JOIN q ORDER BY vec_id""".stripMargin
 
   // ---- text analysis ----
