@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.index.{GraftIndex, IndexBuilder, IndexConfig}
+import graft.query.{MatchMode, ScoreMode}
+import graft.streaming.IncrementalIndex
+
+/** Seeded fuzz over the mutation surface: random corpus -> delete a batch
+  * (including ids later resurrected) -> upsert a batch with new text ->
+  * compare EVERY match mode against a naive recomputation of the
+  * post-mutation corpus -> compact -> everything must still agree. */
+class MutationFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260816L)
+  // letters only: TokenBigram unifies alpha and digit runs SEPARATELY, so
+  // digit-bearing words would not be single tokens
+  private val vocab = (0 until 50).map(i =>
+    s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+  private def randText(): String =
+    (0 until (3 + rnd.nextInt(28))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+  private val nDocs = 400
+  private val baseCorpus: Map[Long, String] =
+    (0L until nDocs).map(i => i -> randText()).toMap
+  private val deleted: Set[Long] =
+    rnd.shuffle((0L until nDocs).toList).take(25).toSet
+  // 15 of the upserts resurrect deleted ids, 15 replace live ones
+  private val upserted: Map[Long, String] = {
+    val res = rnd.shuffle(deleted.toList).take(15)
+    val rep = rnd.shuffle(((0L until nDocs).toSet -- deleted).toList).take(15)
+    (res ++ rep).map(id => id -> randText()).toMap
+  }
+  /** the corpus a reader must observe after delete+upsert */
+  private val effective: Map[Long, String] =
+    (baseCorpus -- deleted) ++ upserted
+
+  private def naiveTf(terms: Seq[String], mode: MatchMode): Map[Long, Double] = {
+    val tsets = terms.distinct
+    effective.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val tfs = tsets.map(t => t -> toks.count(_ == t)).toMap
+      val present = tfs.count(_._2 > 0)
+      val score = tfs.valuesIterator.sum.toDouble
+      val ok = mode match {
+        case MatchMode.All => present == tsets.size
+        case MatchMode.Any => present >= 1
+        case MatchMode.Quorum(m) => present >= m
+        case MatchMode.Near(k) =>
+          present == tsets.size && {
+            val posOf = tsets.map(t => toks.zipWithIndex.filter(_._1 == t).map(_._2))
+            // any combination within window k (small lists: brute force)
+            def windows(lists: Seq[Array[Int]]): Boolean = {
+              def rec(i: Int, mn: Int, mx: Int): Boolean =
+                if (i == lists.size) mx - mn <= k
+                else lists(i).exists(p => rec(i + 1, math.min(mn, p), math.max(mx, p)))
+              rec(0, Int.MaxValue, Int.MinValue)
+            }
+            windows(posOf)
+          }
+        case _ => false
+      }
+      if (ok && score > 0) Some(id -> score) else None
+    }
+  }
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+  private lazy val mutated: GraftIndex = {
+    val df = baseCorpus.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx",
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+    IncrementalIndex.delete(spark, s"$tmp/idx", deleted.toSeq.sorted)
+    IncrementalIndex.upsert(spark, s"$tmp/idx",
+      upserted.toSeq.sortBy(_._1).toDF("doc_id", "text"),
+      "doc_id", "text", "seg-fuzz", IndexConfig(tokenizer = "TokenBigram"))
+    GraftIndex(spark, s"$tmp/idx")
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def trials(idx: GraftIndex, label: String): Unit = {
+    val localRnd = new scala.util.Random(7L)
+    for (trial <- 0 until 12) {
+      val k = 1 + localRnd.nextInt(3)
+      val terms = (0 until k).map(_ => vocab(localRnd.nextInt(vocab.length))).distinct
+      val mode: MatchMode = localRnd.nextInt(4) match {
+        case 0 => MatchMode.All
+        case 1 => MatchMode.Any
+        case 2 => MatchMode.Quorum(math.min(2, terms.size))
+        case 3 => MatchMode.Near(3)
+      }
+      val got = collectScores(idx.searchTerms(terms, mode, ScoreMode.Tf))
+      val want = naiveTf(terms, mode)
+      assert(got == want, s"$label trial $trial terms=$terms mode=$mode\n" +
+        s"extra=${(got.keySet -- want.keySet).toSeq.sorted.take(5)} " +
+        s"missing=${(want.keySet -- got.keySet).toSeq.sorted.take(5)}")
+    }
+    // phrase over a known adjacent pair from the post-mutation corpus
+    val (pid, ptext) = effective.find(_._2.split(" ").length >= 2).get
+    val ptoks = ptext.split(" ")
+    val phrase = s"${ptoks(0)} ${ptoks(1)}"
+    val gotP = collectScores(idx.searchPhrase(phrase))
+    val wantP = effective.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      val occ = (0 until t.length - 1).count(i => t(i) == ptoks(0) && t(i + 1) == ptoks(1))
+      if (occ > 0) Some(id -> occ.toDouble) else None
+    }
+    assert(gotP == wantP, s"$label phrase '$phrase' (picked from doc $pid)")
+    assert(gotP.nonEmpty)
+    // top-k on the mutated index is internally rank-consistent with full scoring
+    val full = collectScores(idx.searchTerms(Seq(vocab(0), vocab(1)), MatchMode.Any, ScoreMode.Bm25()))
+    val want10 = full.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got10 = idx.topK(idx.searchTerms(Seq(vocab(0), vocab(1)),
+        MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got10.map(_._1) == want10.map(_._1), s"$label top-k ranks")
+  }
+
+  test("all match modes agree with naive on the post-mutation corpus") {
+    assert(deleted.intersect(upserted.keySet).nonEmpty, "fuzz must cover resurrection")
+    trials(mutated, "pre-compact")
+  }
+
+  test("compact preserves every result and refreshes stats") {
+    trials(mutated, "pre-compact-2") // ensure lazy init ran
+    val compacted = IncrementalIndex.compact(spark, s"$tmp/idx",
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+    assert(compacted.meta.deleteSegments.isEmpty)
+    assert(compacted.meta.nDocs == effective.size)
+    trials(compacted, "post-compact")
+  }
+}
