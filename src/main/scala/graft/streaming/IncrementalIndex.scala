@@ -102,19 +102,29 @@ object IncrementalIndex {
     * (grn_ii_delete_one, /root/reference/lib/grn_ii.h:158). */
   def delete(spark: SparkSession, indexPath: String, docIds: DataFrame,
       idCol: String = "doc_id"): GraftIndex = {
+    import spark.implicits._
     val fs = SegmentCatalog.fileSystem(spark, indexPath)
     require(SegmentCatalog.isCommitted(fs, indexPath),
       s"delete requires a committed index at $indexPath")
     val meta = SegmentCatalog.readMeta(fs, indexPath)
     val gen = dataSegCount(meta)
     val name = f"del-${meta.deleteSegments.length}%05d"
-    docIds.select(col(idCol).cast("long").as("doc_id"))
-      .distinct()
-      .withColumn("gen", lit(gen))
+    val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // corpus stats stay EXACT across deletes: subtract only docs that are
+    // currently LIVE (idempotent — GraftIndex.docs already excludes
+    // earlier tombstones), so BM25 avgdl/idf don't drift until compact
+    val live = GraftIndex(spark, indexPath).docs.join(ids, Seq("doc_id"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).as[(Long, Long)].head()
+    ids.withColumn("gen", lit(gen))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/$name")
+    val newN = meta.nDocs - live._1
+    val newAvgdl =
+      if (newN <= 0) 0.0
+      else (meta.avgdl * meta.nDocs - live._2.toDouble) / newN
     SegmentCatalog.commit(fs, indexPath,
-      meta.copy(deleteSegments = meta.deleteSegments :+ name),
+      meta.copy(nDocs = newN, avgdl = newAvgdl,
+        deleteSegments = meta.deleteSegments :+ name),
       Map("deleted" -> name))
     GraftIndex(spark, indexPath)
   }

@@ -123,6 +123,11 @@ class MutationFuzzSpec extends AnyFunSuite {
   test("all match modes agree with naive on the post-mutation corpus") {
     assert(deleted.intersect(upserted.keySet).nonEmpty, "fuzz must cover resurrection")
     trials(mutated, "pre-compact")
+    // delete/upsert keep corpus stats exact (no drift until compact)
+    assert(mutated.meta.nDocs == effective.size)
+    val wantAvgdl = effective.values.map(_.split(" ").length).sum.toDouble / effective.size
+    assert(math.abs(mutated.meta.avgdl - wantAvgdl) < 1e-9,
+      s"avgdl ${mutated.meta.avgdl} vs $wantAvgdl")
   }
 
   test("compact preserves every result and refreshes stats") {

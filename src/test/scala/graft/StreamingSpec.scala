@@ -93,6 +93,11 @@ class StreamingSpec extends AnyFunSuite {
     val victims = before.keys.toSeq.sorted.take(3)
     val afterDel = IncrementalIndex.delete(spark, idxPath, victims)
     assert(afterDel.meta.deleteSegments.nonEmpty)
+    assert(afterDel.meta.nDocs == naive.nDocs - victims.length,
+      "delete keeps nDocs exact without waiting for compact")
+    // deleting the same ids again must not double-subtract (idempotent)
+    val again = IncrementalIndex.delete(spark, idxPath, victims)
+    assert(again.meta.nDocs == afterDel.meta.nDocs)
     val got = collectScores(afterDel.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
     assert(got == before -- victims)
     assert(afterDel.docs.where(col("doc_id").isin(victims: _*)).count() == 0,
