@@ -148,6 +148,16 @@ object Select {
         .join(eval(idx, r, score, source).select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** `query("cols", "q")` in predicate position (--filter): keep source
+    * rows whose doc matches the query — the Spark-natural semi-join form
+    * of groonga's in-filter query() function
+    * (lib/proc/proc_query.cpp:1157). */
+  def queryFilter(source: DataFrame, idx: GraftIndex, query: String,
+      score: ScoreMode = ScoreMode.Tf): DataFrame =
+    source.join(
+      eval(idx, QueryParser.parse(query), score, Some(source)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** full select: query -> post_filter -> scorer -> sort/offset/limit */
   def select(idx: GraftIndex, req: Request): DataFrame = {
     var df = eval(idx, QueryParser.parse(req.query), req.score, req.source)

@@ -290,6 +290,20 @@ class IndexSpec extends AnyFunSuite {
       Seq(Seq("zzznotaterm"), Seq(headTerm(3))), 6).count() == 0)
   }
 
+  test("queryFilter keeps exactly the matching source rows (in-filter query())") {
+    import spark.implicits._
+    val source = corpus.toDF("doc_id", "text")
+    val q = s"${headTerm(0)} +${headTerm(1)}"
+    val got = graft.operators.Select.queryFilter(source, index, q)
+      .select("doc_id").as[Long].collect().toSet
+    val want = naive.tfScoreAnd(Seq(headTerm(0), headTerm(1))).keySet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // source columns preserved (predicate position, not a projection)
+    assert(graft.operators.Select.queryFilter(source, index, q).columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
   test("build is resumable: second call reuses the committed manifest") {
     val df = WebCorpus.generate(spark, nDocs, partitions = 4)
     val t0 = System.nanoTime()
