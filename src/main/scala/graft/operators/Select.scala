@@ -29,7 +29,14 @@ object Select {
       postFilter: Option[Column] = None,
       scorer: Option[DataFrame => Column] = None,
       /** source table (with a doc_id column) for relational `col:<n` legs */
-      source: Option[DataFrame] = None)
+      source: Option[DataFrame] = None,
+      /** sequential-scan fallback (select_index_use_sequential_search,
+        * lib/table_selector.c:598-645): when the query's relational legs
+        * alone shrink the candidate set to <= this many rows, term legs are
+        * evaluated by tokenizing just those rows' text instead of scanning
+        * the index. 0 disables. Needs source + textCol. */
+      sequentialThreshold: Long = 0L,
+      textCol: String = "text")
 
   private def flattenAnd(n: Node): List[Node] = n match {
     case AndQ(l, r) => flattenAnd(l) ++ flattenAnd(r)
@@ -158,9 +165,70 @@ object Select {
       eval(idx, QueryParser.parse(query), score, Some(source)).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-  /** full select: query -> post_filter -> scorer -> sort/offset/limit */
+  /** Sequential text-match over candidate rows: tokenize each candidate's
+    * text with the index's analyzer and score term tf exactly like the
+    * kernel would — the small-result-set path of
+    * grn_ii_select_sequential_search (lib/ii.cpp:14290-14678). */
+  private[graft] def sequentialTermMatch(idx: GraftIndex, candidates: DataFrame,
+      textCol: String, terms: Seq[(String, Double)], requireAll: Boolean): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tokenizerName = idx.meta.tokenizer
+    val want = terms.toMap
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    candidates
+      .select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .mapPartitions { it =>
+        val tok = graft.analyzer.Analyzers.byName(tokenizerName)
+        it.flatMap { r =>
+          val tf = new scala.collection.mutable.HashMap[String, Int]()
+          tok.tokenize(if (r.isNullAt(1)) "" else r.getString(1)).foreach { t =>
+            if (want.contains(t.term)) tf.update(t.term, tf.getOrElse(t.term, 0) + 1)
+          }
+          val ok = if (requireAll) want.keysIterator.forall(tf.contains) else tf.nonEmpty
+          if (!ok) None
+          else Some((r.getLong(0), tf.iterator.map { case (t, n) => n * want(t) }.sum))
+        }
+      }(enc)
+      .toDF("doc_id", "score")
+  }
+
+  /** full select: query -> post_filter -> scorer -> sort/offset/limit.
+    *
+    * With `sequentialThreshold` > 0 and a source table, an AND query whose
+    * relational legs alone select few enough rows skips the index for its
+    * term legs (sequential-scan fallback). */
   def select(idx: GraftIndex, req: Request): DataFrame = {
-    var df = eval(idx, QueryParser.parse(req.query), req.score, req.source)
+    val parsed = QueryParser.parse(req.query)
+    val sequential: Option[DataFrame] =
+      if (req.sequentialThreshold <= 0 || req.source.isEmpty ||
+        req.score != ScoreMode.Tf) None // seq path reproduces TF scoring only
+      else parsed match {
+        case _: AndQ =>
+          val legs = flattenAnd(parsed)
+          val relLegs = legs.collect { case r: RelQ => r }
+          val termLegs = legs.collect { case t: TermQ => t }
+          // only the pure rel+term shape has the exact sequential form
+          if (relLegs.isEmpty || relLegs.size + termLegs.size != legs.size) None
+          else {
+            val candidates = relLegs.foldLeft(req.source.get) { (df, r) =>
+              relFilter(df, r.col, r.op, r.value)
+                .select(col("doc_id"))
+                .join(df, Seq("doc_id"))
+            }.persist()
+            if (candidates.count() <= req.sequentialThreshold) {
+              val seqDf =
+                if (termLegs.isEmpty) candidates.select(col("doc_id"), lit(0.0).as("score"))
+                else sequentialTermMatch(idx, candidates, req.textCol,
+                  termLegs.map(t => t.term -> t.weight), requireAll = true)
+              // relational legs score 1 each, like the index path
+              Some(seqDf.select(col("doc_id"),
+                (col("score") + lit(relLegs.size.toDouble)).as("score")))
+            } else { candidates.unpersist(); None }
+          }
+        case _ => None
+      }
+    var df = sequential.getOrElse(
+      eval(idx, parsed, req.score, req.source))
     req.postFilter.foreach(f => df = df.where(f))
     req.scorer.foreach(fn => df = df.withColumn("score", fn(df)))
     val sortCols = req.sortKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }

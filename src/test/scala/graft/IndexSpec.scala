@@ -304,6 +304,28 @@ class IndexSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("sequential-scan fallback equals the index path on small candidate sets") {
+    import spark.implicits._
+    val source = corpus.toDF("doc_id", "text")
+    // doc_id:<25 alone selects 25 rows -> under the threshold
+    val q = s"${headTerm(0)} doc_id:<25"
+    def run(thresh: Long) = graft.operators.Select.select(index,
+        graft.operators.Select.Request(query = q, limit = -1,
+          sortKeys = Seq(("doc_id", true)),
+          source = Some(source), sequentialThreshold = thresh))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = run(0) // fallback off
+    val viaSeq = run(100) // 25 candidates <= 100 -> sequential path
+    assert(viaSeq == viaIndex)
+    assert(viaSeq.nonEmpty)
+    // plan proof: the sequential run must not scan the postings table
+    val seqPlan = graft.operators.Select.select(index,
+      graft.operators.Select.Request(query = q, limit = -1,
+        source = Some(source), sequentialThreshold = 100))
+      .queryExecution.executedPlan.toString
+    assert(!seqPlan.contains("postings"), "sequential path must skip the index")
+  }
+
   test("build is resumable: second call reuses the committed manifest") {
     val df = WebCorpus.generate(spark, nDocs, partitions = 4)
     val t0 = System.nanoTime()
