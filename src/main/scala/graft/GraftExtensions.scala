@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hash"),
       info("shingle_hash", "deterministic polynomial string hash (base 31, mod 1e9+7)"),
       (args: Seq[Expression]) => PolyHash(args.head, 31L, GraftFunctions.HashMod)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_match"),
+      info("graft_match",
+        "fulltext match predicate: graft_match('<indexPath>', '<query>') — " +
+          "rewritten into an index semi-join by GraftMatchRule"),
+      (args: Seq[Expression]) => graft.plans.GraftMatchMarker(args(0), args(1))))
+    ext.injectOptimizerRule(graft.plans.GraftMatchRule)
   }
 }
 
@@ -60,5 +67,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => PolyHash(args.head, 131L, GraftFunctions.HashMod), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hash",
       (args: Seq[Expression]) => PolyHash(args.head, 31L, GraftFunctions.HashMod), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_match",
+      (args: Seq[Expression]) => graft.plans.GraftMatchMarker(args(0), args(1)), "scala_udf")
+    // optimizer-rule injection on a live session goes through the
+    // experimental hook (spark.sql.extensions is build-time only)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.GraftMatchRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftMatchRule(spark)
   }
 }

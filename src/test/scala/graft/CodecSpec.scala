@@ -73,6 +73,44 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sectioned block roundtrip with positions (100 seeded cases)") {
+    for (seed <- 200 until 300) {
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 1 + rnd.nextInt(60)
+      // (doc, sid) ascending, 1..3 sections per doc, docId gaps up to 1000
+      val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sids = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var doc = rnd.nextInt(1000).toLong
+      for (_ <- 0 until nDocs) {
+        val nSec = 1 + rnd.nextInt(3)
+        val secIds = rnd.shuffle((1 to 5).toList).take(nSec).sorted
+        secIds.foreach { s => docs += doc; sids += s }
+        doc += 1 + rnd.nextInt(1000)
+      }
+      val n = docs.length
+      val tfs = Array.fill(n)(1 + rnd.nextInt(7))
+      val dls = Array.fill(n)(1 + rnd.nextInt(300))
+      val positions = tfs.map { tf =>
+        val out = new Array[Int](tf)
+        var p = -1
+        for (j <- 0 until tf) { p += 1 + rnd.nextInt(50); out(j) = p }
+        out
+      }
+      val bytes = PostingCodec.encode(docs.toArray, tfs, dls, positions, sids.toArray)
+      val d = PostingCodec.decode(bytes)
+      assert(d.docIds.toSeq == docs.toSeq, s"seed $seed")
+      assert(d.sids.toSeq == sids.toSeq, s"seed $seed")
+      assert(d.tfs.toSeq == tfs.toSeq, s"seed $seed")
+      assert(d.dls.toSeq == dls.toSeq, s"seed $seed")
+      var off = 0
+      for (i <- 0 until n) {
+        assert(d.positions.slice(off, off + tfs(i)).toSeq == positions(i).toSeq,
+          s"seed $seed posting $i")
+        off += tfs(i)
+      }
+    }
+  }
+
   test("dense blocks use bit-packed doc deltas and stay compact") {
     val n = 128
     val docIds = Array.tabulate(n)(i => 1000L + i * 3)

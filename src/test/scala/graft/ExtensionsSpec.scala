@@ -31,6 +31,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
+  test("graft_match predicate plans into an index semi-join (Catalyst rule)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rule").toString
+    val docs = (0L until 200L).map { i =>
+      val extra = if (i % 3 == 0) " spark" else ""
+      val extra2 = if (i % 5 == 0) " join" else ""
+      (i, s"common words$extra$extra2")
+    }.toDF("doc_id", "text")
+    val idx = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig(tokenizer = "TokenBigram"))
+    docs.createOrReplaceTempView("rule_docs")
+    val df = spark.sql(
+      s"SELECT doc_id FROM rule_docs WHERE graft_match('$tmp/idx', 'spark +join') AND doc_id < 100")
+    val got = df.collect().map(_.getLong(0)).toSet
+    val want = (0L until 100L).filter(i => i % 3 == 0 && i % 5 == 0).toSet
+    assert(got == want)
+    // the marker must be gone and a semi-join present
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("graft_match"), physical.take(500))
+    assert(physical.contains("LeftSemi"), physical.take(500))
+    // unplanned usage (rule disabled) would throw; with the rule it's fine
+    // even mixed with OR-free residual conjuncts (covered above)
+    val both = spark.sql(
+      s"SELECT count(*) FROM rule_docs WHERE graft_match('$tmp/idx', 'spark') " +
+        s"AND graft_match('$tmp/idx', 'join')").head().getLong(0)
+    assert(both == (0L until 200L).count(i => i % 3 == 0 && i % 5 == 0))
+  }
+
   test("poly_hash / shingle_hash from SQL equal the Scala fold") {
     val h = spark.sql("SELECT poly_hash('spark'), shingle_hash('spark')").head()
     def ref(s: String, m: Long): Long =
