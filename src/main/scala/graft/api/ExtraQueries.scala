@@ -183,6 +183,26 @@ object ExtraQueries {
       |  AND levenshtein(term, 'sparkk') <= 2 AND term <> 'sparkk'
       |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin
 
+  /** the Catalyst-rule SQL surface: WHERE graft_match(...) over a view is
+    * rewritten into the index semi-join by GraftMatchRule (plans/), then
+    * joined back for scoring-free row selection */
+  def sqlMatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val idx = Tables.documentsIndex(spark, dir) // ensure the index exists
+    Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_v")
+    spark.sql(
+      s"""SELECT doc_id, n_chars FROM documents_v
+         |WHERE graft_match('${idx.path}', 'spark +join') AND n_chars < 400
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val sqlMatchSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |m AS (SELECT doc_id FROM toks WHERE term IN ('spark','join')
+      |      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+      |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+      |WHERE d.n_chars < 400 ORDER BY d.doc_id""".stripMargin
+
   /** TERM_EXTRACT: dictionary terms found as substrings of a target string
     * (lib/grn_ii.h:234 GRN_OP_TERM_EXTRACT; tag-extraction use case). */
   def termExtract(spark: SparkSession, dir: String): DataFrame =
@@ -441,6 +461,7 @@ object ExtraQueries {
     "html_untag" -> htmlUntag,
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
+    "ft_sql_match" -> sqlMatch,
     "suggest_complete" -> suggestComplete,
     "suggest_correct" -> suggestCorrect,
     "ft_query_expand" -> queryExpand)
@@ -464,6 +485,7 @@ object ExtraQueries {
     "html_untag" -> htmlUntagSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
+    "ft_sql_match" -> sqlMatchSql,
     "suggest_complete" -> suggestCompleteSql,
     "suggest_correct" -> suggestCorrectSql,
     "ft_query_expand" -> queryExpandSql)
