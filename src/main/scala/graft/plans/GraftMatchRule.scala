@@ -54,6 +54,14 @@ final case class GraftMatchRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if cond.exists(_.isInstanceOf[GraftMatchMarker]) =>
       val conjuncts = splitConjuncts(cond)
       val (markers, rest) = conjuncts.partition(_.isInstanceOf[GraftMatchMarker])
+      // a marker nested under OR/NOT/etc. has no semi-join form — fail at
+      // planning time with a usable message instead of at runtime
+      rest.find(_.exists(_.isInstanceOf[GraftMatchMarker])).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"graft_match must be a TOP-LEVEL AND-conjunct of the WHERE clause " +
+            s"(found nested inside: ${bad.sql}); rewrite OR queries into the " +
+            s"query string itself, e.g. graft_match(idx, 'a OR b')")
+      }
       var out: LogicalPlan = child
       markers.foreach { case m: GraftMatchMarker =>
         val path = litStr(m.indexPath).getOrElse(

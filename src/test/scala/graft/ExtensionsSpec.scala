@@ -59,6 +59,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(both == (0L until 200L).count(i => i % 3 == 0 && i % 5 == 0))
   }
 
+  test("graft_match nested under OR fails with a clear planning error") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rule2").toString
+    val docs = Seq((0L, "spark x"), (1L, "y z")).toDF("doc_id", "text")
+    graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig())
+    docs.createOrReplaceTempView("rule_docs2")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT doc_id FROM rule_docs2 WHERE " +
+        s"graft_match('$tmp/idx', 'spark') OR doc_id = 1").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("TOP-LEVEL")), messages(e).mkString(" | "))
+  }
+
   test("poly_hash / shingle_hash from SQL equal the Scala fold") {
     val h = spark.sql("SELECT poly_hash('spark'), shingle_hash('spark')").head()
     def ref(s: String, m: Long): Long =
