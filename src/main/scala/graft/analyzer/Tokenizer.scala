@@ -67,7 +67,16 @@ final case class NgramOptions(
     unifyDigit: Boolean = true,
     unifySymbol: Boolean = true,
     ignoreBlank: Boolean = false,
-    removeBlank: Boolean = true)
+    removeBlank: Boolean = true,
+    /** loose modes (grn_ngram_options loose_symbol/loose_blank,
+      * lib/tokenizers.c:508 ngram_switch_to_loose_mode): when the input
+      * contains symbols/blanks, ADD mode emits a SECOND token stream of the
+      * input with those chars removed, separated by the end-mark token ￰ —
+      * "090-1234" indexes both ["090","-","1234"] and ["0901234"], so a
+      * symbol-free query matches loosely. GET mode tokenizes the STRIPPED
+      * query against the loose stream. */
+    looseSymbol: Boolean = false,
+    looseBlank: Boolean = false)
 
 final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tokenizer {
 
@@ -78,12 +87,44 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
     case _ => false
   }
 
+  /** chars the loose stream removes */
+  private def removable(c: Byte): Boolean =
+    (opts.looseSymbol && c == CharClass.Symbol) ||
+      (opts.looseBlank && c == CharClass.Blank)
+
   def tokenize(raw: String, mode: TokenizeMode): Array[Token] = {
     val norm = Normalizer.normalize(raw)
-    val text = norm.text
-    val cls = norm.classes
+    val looseActive = (opts.looseSymbol || opts.looseBlank) &&
+      norm.classes.exists(removable)
+    if (!looseActive) return walk(norm.text, norm.classes, mode, 0)
+    // loose mode: strip the removable chars for the secondary stream
+    val sb = new java.lang.StringBuilder(norm.text.length)
+    val cb = new ArrayBuffer[Byte](norm.text.length)
+    var k = 0
+    while (k < norm.text.length) {
+      if (!removable(norm.classes(k))) { sb.append(norm.text.charAt(k)); cb += norm.classes(k) }
+      k += 1
+    }
+    val (strippedText, strippedCls) = (sb.toString, cb.toArray)
+    mode match {
+      case TokenizeMode.Get =>
+        // queries search the loose stream (the stripped form)
+        walk(strippedText, strippedCls, mode, 0)
+      case TokenizeMode.Add =>
+        val primary = walk(norm.text, norm.classes, mode, 0)
+        val out = new ArrayBuffer[Token](primary.length * 2 + 1)
+        out ++= primary
+        val sepPos = primary.lastOption.map(_.pos + 1).getOrElse(0)
+        out += Token("￰", sepPos, 0) // end-mark separator (reference ￰)
+        out ++= walk(strippedText, strippedCls, mode, sepPos + 1)
+        out.toArray
+    }
+  }
+
+  private def walk(text: String, cls: Array[Byte], mode: TokenizeMode,
+      posStart: Int): Array[Token] = {
     val out = new ArrayBuffer[Token](math.max(8, text.length / 4))
-    var pos = 0
+    var pos = posStart
     var i = 0
     val len = text.length
     while (i < len) {
@@ -186,6 +227,8 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
   /** allocation-free ADD-mode token count (doc-length stats pass) */
   override def countTokens(raw: String): Int = {
     val norm = Normalizer.normalize(raw)
+    if ((opts.looseSymbol || opts.looseBlank) && norm.classes.exists(removable))
+      return tokenize(raw).length // loose streams: exact but slower path
     val text = norm.text
     val cls = norm.classes
     var n = 0
@@ -436,6 +479,8 @@ object Analyzers {
             case Array("unify_symbol", v) => o.copy(unifySymbol = v.toBoolean)
             case Array("ignore_blank", v) => o.copy(ignoreBlank = v.toBoolean)
             case Array("remove_blank", v) => o.copy(removeBlank = v.toBoolean)
+            case Array("loose_symbol", v) => o.copy(looseSymbol = v.toBoolean)
+            case Array("loose_blank", v) => o.copy(looseBlank = v.toBoolean)
             case _ => throw new IllegalArgumentException(s"bad TokenNgram option: $kv")
           }
         }

@@ -170,6 +170,31 @@ class StemmerSpec extends AnyFunSuite {
     assert(tok.tokenize("ABCD").map(_.term).toSeq == Seq("abc"))
   }
 
+  test("loose_symbol emits a secondary stripped stream; GET queries match it") {
+    import graft.query.MatchMode
+    val tok = Analyzers.byName("TokenNgram:n=2,loose_symbol=true")
+    // ADD: primary stream, end-mark ￰, then the symbol-stripped stream
+    val add = tok.tokenize("090-1234").map(_.term).toSeq
+    assert(add == Seq("090", "-", "1234", "￰", "0901234"), add.toString)
+    // GET: the stripped form only (what the query searches)
+    val get = tok.tokenize("0901234", graft.analyzer.TokenizeMode.Get).map(_.term).toSeq
+    assert(get == Seq("0901234"))
+    // symbol-free input: no loose stream at all
+    assert(tok.tokenize("plain words").map(_.term).toSeq == Seq("plain", "words"))
+    // countTokens stays consistent with tokenize
+    assert(tok.countTokens("090-1234") == 5)
+    // end-to-end: a symbol-free query matches a symbol-bearing doc
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-loose").toString
+    val docs = Seq((0L, "call 090-1234 now"), (1L, "other text")).toDF("doc_id", "text")
+    val idx = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx", graft.index.IndexConfig(tokenizer = "TokenNgram:n=2,loose_symbol=true"))
+    val q = idx.analyzeQuery("0901234").map(_._1)
+    val got = idx.searchTerms(q, MatchMode.All).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L))
+  }
+
   test("stemmed index matches inflected query forms") {
     val spark = TestSpark.spark
     import spark.implicits._
