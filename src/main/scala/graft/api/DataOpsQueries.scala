@@ -226,6 +226,49 @@ object DataOpsQueries {
       |SELECT vec_id, round(cos, 4) AS cos FROM scored
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  /** batch ANN: top-3 per query for 5 query vectors in one bucketed join +
+    * window rank (the multi-query scale path — no per-query jobs) */
+  def annBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    Similarity.annTopKBatch(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 3, planes = 8)
+      .orderBy("qid", "rank")
+  }
+
+  val annBatchTopKSql: String =
+    """WITH dots AS (
+      |  SELECT vec_id, j,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(embedding, range(0, 64)),
+      |      p -> CAST(p[1] AS DOUBLE) *
+      |           CAST(((j * 131071 + p[2] * 524287) % 1000003) % 7 - 3 AS DOUBLE))),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1),
+      |qs AS (SELECT b.vec_id AS qid, b.bucket, e.embedding AS qv
+      |       FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 5),
+      |cand AS (
+      |  SELECT q.qid, b.vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+      |     sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+      |  FROM qs q JOIN buckets b USING (bucket)
+      |  JOIN embeddings e ON e.vec_id = b.vec_id
+      |  WHERE b.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** distance_inner_product / distance_l1_norm / distance_l2_norm_squared
     * (lib/distance.cpp:99-330 family) against the query vector */
   def vectorDistances(spark: SparkSession, dir: String): DataFrame = {
@@ -349,6 +392,7 @@ object DataOpsQueries {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopK,
+    "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
     "lang_id" -> langIdQ,
     "text_quality" -> qualityQ,
@@ -366,6 +410,7 @@ object DataOpsQueries {
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_topk" -> annLshTopKSql,
+    "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,
     "lang_id" -> langIdSql,
     "text_quality" -> qualitySql,

@@ -88,4 +88,26 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** BATCH ANN: top-k per query vector in ONE bucketed join — buckets are
+    * computed once per side and candidates ranked with a window, so a
+    * million queries cost one shuffle, not a million driver jobs (the
+    * multi-query path round 1 lacked). Self-matches (same id) excluded. */
+  def annTopKBatch(vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = lshBuckets(vecs, idCol, vecCol, dim, planes)
+    val qb = queries.select(col(qidCol).as("qid"),
+      lshBucket(col(qvecCol), dim, planes).as("bucket"),
+      col(qvecCol).as("qv"))
+    val cands = qb.join(cb, Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
 }
