@@ -181,13 +181,41 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
 
   /** ADD-mode tokenize carrying raw-char offsets — same walk as tokenize()
     * over the offset-tracking normalizer (TokenizerSpec asserts the
-    * term/pos sequences stay identical). */
+    * term/pos sequences stay identical), INCLUDING the loose secondary
+    * stream: its chars keep their source offsets through the strip, so
+    * highlight/snippet over a loose-mode index can map loose-stream hits
+    * back to raw char ranges. */
   override def tokenizeWithOffsets(raw: String): Array[OffsetToken] = {
     val norm = Normalizer.normalizeWithOffsets(raw)
-    val text = norm.text
-    val cls = norm.classes
+    val primary = walkOffsets(norm.text, norm.classes, norm.srcStart, norm.srcEnd, 0)
+    val looseActive = (opts.looseSymbol || opts.looseBlank) &&
+      norm.classes.exists(removable)
+    if (!looseActive) return primary
+    val n = norm.text.length
+    val sb = new java.lang.StringBuilder(n)
+    val cb = new ArrayBuffer[Byte](n)
+    val ss = new graft.codec.IntVec(n)
+    val se = new graft.codec.IntVec(n)
+    var k = 0
+    while (k < n) {
+      if (!removable(norm.classes(k))) {
+        sb.append(norm.text.charAt(k)); cb += norm.classes(k)
+        ss += norm.srcStart(k); se += norm.srcEnd(k)
+      }
+      k += 1
+    }
+    val sepPos = primary.lastOption.map(_.pos + 1).getOrElse(0)
+    val out = new ArrayBuffer[OffsetToken](primary.length * 2 + 1)
+    out ++= primary
+    out += OffsetToken("￰", sepPos, 0, 0) // separator spans no source chars
+    out ++= walkOffsets(sb.toString, cb.toArray, ss.toArray, se.toArray, sepPos + 1)
+    out.toArray
+  }
+
+  private def walkOffsets(text: String, cls: Array[Byte],
+      srcStart: Array[Int], srcEnd: Array[Int], posStart: Int): Array[OffsetToken] = {
     val out = new ArrayBuffer[OffsetToken](math.max(8, text.length / 4))
-    var pos = 0
+    var pos = posStart
     var i = 0
     val len = text.length
     while (i < len) {
@@ -205,7 +233,7 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
         val term =
           if (opts.ignoreBlank) text.substring(i, j).filterNot(ch => Character.isWhitespace(ch))
           else text.substring(i, j)
-        out += OffsetToken(term, pos, norm.srcStart(i), norm.srcEnd(j - 1))
+        out += OffsetToken(term, pos, srcStart(i), srcEnd(j - 1))
         pos += 1
         i = j
       } else {
@@ -215,7 +243,7 @@ final class NgramTokenizer(val opts: NgramOptions, val name: String) extends Tok
         while (s < runEnd) {
           val glen = math.min(opts.n, runEnd - s)
           out += OffsetToken(text.substring(s, s + glen), pos,
-            norm.srcStart(s), norm.srcEnd(s + glen - 1))
+            srcStart(s), srcEnd(s + glen - 1))
           s += 1; pos += 1 // ADD mode: stride 1
         }
         i = runEnd

@@ -83,6 +83,28 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       (sorted.map(_._1), sorted.map(_._2))
   }
 
+  /** tombstones shipped ONCE per executor (broadcast), not serialized into
+    * every task closure — at the driver cap (millions of entries) a
+    * closure-embedded copy would dominate task dispatch. */
+  @transient private lazy val tombBc
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int])] =
+    spark.sparkContext.broadcast(tombstones)
+
+  /** run the match kernel per bucket; tombstones are injected from the
+    * broadcast inside the task (the shipped `q` carries empty arrays). */
+  private def runKernel(q: ResolvedQuery, blocks: Dataset[PostingBlockRow]): DataFrame = {
+    val bc = if (deletesDf.isEmpty) None else Some(tombBc)
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val qq = bc match {
+          case Some(b) => val (td, tg) = b.value; q.copy(tombDocs = td, tombGens = tg)
+          case None => q
+        }
+        MatchKernel.run(qq, rows)
+      }
+      .toDF("doc_id", "score")
+  }
+
   /** empty (doc_id, score) result with the canonical schema */
   def emptyResult: DataFrame = spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
@@ -140,11 +162,9 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       ResolvedTerm(t, st.map(_.df).getOrElse(0L),
         Bm25.idf(meta.nDocs, st.map(_.df).getOrElse(0L)), w, qpos)
     }
-    val (td, tg) = tombstones
     ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
       sectionWeights = resolveSectionWeights(sectionWeights),
-      sectioned = meta.sections.nonEmpty,
-      tombDocs = td, tombGens = tg)
+      sectioned = meta.sections.nonEmpty)
   }
 
   /** Core search: (doc_id, score) matches for the given terms.
@@ -174,9 +194,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
     val q = resolve(withPos, mode, score, topK, sectionWeights)
     val blocks = postings.where($"term".isin(distinctTerms: _*)).as[PostingBlockRow]
-    blocks.groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
-      .toDF("doc_id", "score")
+    runKernel(q, blocks)
   }
 
   /** Phrase search from a raw phrase string: query-side tokenize (GET mode)
@@ -190,9 +208,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
     val q = resolve(toks.map { case (t, p) => (t, p, 1.0) }, MatchMode.Phrase, score, topK)
     val blocks = postings.where($"term".isin(toks.map(_._1).distinct: _*)).as[PostingBlockRow]
-    blocks.groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
-      .toDF("doc_id", "score")
+    runKernel(q, blocks)
   }
 
   /** NEAR_PHRASE / ORDERED_NEAR_PHRASE: every phrase occurs and the phrase
@@ -218,13 +234,10 @@ final case class GraftIndex(spark: SparkSession, path: String) {
         ResolvedTerm(t, stats(t).df, Bm25.idf(meta.nDocs, stats(t).df), 1.0, p, pid)
       }
     }
-    val (td, tg) = tombstones
     val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
-      sectioned = meta.sections.nonEmpty, tombDocs = td, tombGens = tg)
+      sectioned = meta.sections.nonEmpty)
     val blocks = postings.where($"term".isin(allTerms: _*)).as[PostingBlockRow]
-    blocks.groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
-      .toDF("doc_id", "score")
+    runKernel(q, blocks)
   }
 
   /** NEAR_PHRASE_PRODUCT / ORDERED_NEAR_PHRASE_PRODUCT: each group is a
@@ -256,21 +269,25 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     val liveGroups = rts.map(_.phraseId).distinct
     if (liveGroups.size < groups.size) return emptyResult
     val queryTerms = rts.map(_.term).distinct
-    val (td, tg) = tombstones
     val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
-      sectioned = meta.sections.nonEmpty, tombDocs = td, tombGens = tg)
+      sectioned = meta.sections.nonEmpty)
     val blocks = postings.where($"term".isin(queryTerms: _*)).as[PostingBlockRow]
-    blocks.groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) => MatchKernel.run(q, rows) }
-      .toDF("doc_id", "score")
+    runKernel(q, blocks)
   }
+
+  /** rank candidate terms by corpus-wide df and cap: a term present in
+    * several segments (append/upsert) contributes ONE entry with its dfs
+    * summed — duplicates would give it two kernel cursors and double-count
+    * its tf. */
+  private def dedupTopByDf(cands: DataFrame, maxExpansions: Int): Seq[String] =
+    cands.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+      .select($"term").as[String].collect().toSeq
 
   /** Prefix expansion over the sorted term dictionary (pat-cursor analogue,
     * /root/reference/lib/ii.cpp:10286-10470 EX_PREFIX). */
   def expandPrefix(prefix: String, maxExpansions: Int = 1024): Seq[String] =
-    terms.where($"term".startsWith(prefix))
-      .orderBy(desc("df")).limit(maxExpansions)
-      .select($"term").as[String].collect().toSeq
+    dedupTopByDf(terms.where($"term".startsWith(prefix)), maxExpansions)
 
   /** Suffix expansion via the reversed-term dictionary (terms_rev, sorted
     * by reversed term → parquet row-group pruning on the startsWith filter;
@@ -284,8 +301,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     val base =
       if (haveRev) spark.read.parquet(revPaths: _*).where($"rterm".startsWith(rsuffix))
       else terms.where(reverse($"term").startsWith(rsuffix))
-    base.orderBy(desc("df")).limit(maxExpansions)
-      .select($"term").as[String].collect().toSeq
+    dedupTopByDf(base.select(col("term"), col("df")), maxExpansions)
   }
 
   /** SUFFIX match mode: docs containing any dictionary term ending with
@@ -303,8 +319,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     val cands = graft.analyzer.Romaji.candidates(romajiPrefix)
     if (cands.isEmpty) return Nil
     val pred = cands.map(c => $"term".startsWith(c)).reduce(_ || _)
-    terms.where(pred).orderBy(desc("df")).limit(maxExpansions)
-      .select($"term").as[String].collect().toSeq.distinct
+    dedupTopByDf(terms.where(pred), maxExpansions)
   }
 
   /** GRN_OP_TERM_EXTRACT (lib/grn_ii.h:234): every dictionary term occurring
@@ -346,9 +361,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       .where(length($"term").between(term.length - maxDistance, term.length + maxDistance))
     val pref = if (prefixLength > 0)
       base.where($"term".startsWith(term.take(prefixLength))) else base
-    pref.where(levenshtein(lit(term), $"term") <= maxDistance)
-      .orderBy(desc("df")).limit(maxExpansions)
-      .select($"term").as[String].collect().toSeq
+    dedupTopByDf(pref.where(levenshtein(lit(term), $"term") <= maxDistance), maxExpansions)
   }
 
   /** Any+Tf match for an UNBOUNDED term set given as a DataFrame — the
@@ -380,7 +393,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     * is computed by a distributed postings⋈terms join instead
     * (grn_ii_select GRN_OP_REGEXP dict-literal path, lib/ii.cpp:14788). */
   def searchRegexp(pattern: String, maxExpansions: Int = 1024): DataFrame = {
-    val matching = terms.where($"term".rlike(pattern)).select($"term")
+    val matching = terms.where($"term".rlike(pattern)).select($"term").distinct()
     val sample = matching.limit(maxExpansions + 1).as[String].collect()
     if (sample.isEmpty) emptyResult
     else if (sample.length <= maxExpansions)

@@ -17,12 +17,31 @@ object SegmentCatalog {
   implicit private val fmts: Formats = DefaultFormats
 
   final val ManifestFile = "manifest.json"
+  private val VersionedManifest = """manifest-(\d+)\.json""".r
 
   def fileSystem(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Committed manifests, (version, path), ascending. Recommits write
+    * manifest-N.json (fresh name each time, tmp + rename-to-new-name =
+    * atomic everywhere); the legacy unversioned manifest.json reads as
+    * version -1. The previous manifest is deleted only AFTER the new one
+    * lands, so a reader always sees the last fully-committed state
+    * (last-wins), never a window with no manifest. */
+  private def manifests(fs: FileSystem, outPath: String): Seq[(Long, Path)] = {
+    val dir = new Path(outPath)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestFile => Some((-1L, st.getPath))
+        case VersionedManifest(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
   def isCommitted(fs: FileSystem, outPath: String): Boolean =
-    fs.exists(new Path(outPath, ManifestFile))
+    manifests(fs, outPath).nonEmpty
 
   def stageComplete(fs: FileSystem, stagePath: String): Boolean =
     fs.exists(new Path(stagePath, "_SUCCESS"))
@@ -47,17 +66,24 @@ object SegmentCatalog {
       "sections" -> meta.sections,
       "deleteSegments" -> meta.deleteSegments,
       "metrics" -> metrics))
-    val tmp = new Path(outPath, s"$ManifestFile.tmp")
-    val dst = new Path(outPath, ManifestFile)
+    val existing = manifests(fs, outPath)
+    val ver = existing.lastOption.map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(outPath, f"manifest-$ver%06d.json.tmp")
+    val dst = new Path(outPath, f"manifest-$ver%06d.json")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
+    // dst never pre-exists (fresh version number), so this single rename is
+    // the commit point on any FileSystem; a crash before it leaves the
+    // previous manifest intact, after it the cleanup below is best-effort
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit failed for $outPath")
+    existing.foreach { case (_, p) => try fs.delete(p, false) catch { case _: Exception => } }
   }
 
   def readMeta(fs: FileSystem, outPath: String): IndexMeta = {
-    val in = fs.open(new Path(outPath, ManifestFile))
+    val latest = manifests(fs, outPath).lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed manifest under $outPath"))
+    val in = fs.open(latest._2)
     val json = try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)

@@ -216,9 +216,14 @@ object Select {
                 .join(df, Seq("doc_id"))
             }.persist()
             if (candidates.count() <= req.sequentialThreshold) {
+              // cut lineage to a materialized copy so the cache can be
+              // released NOW — otherwise the persisted DF leaks for the
+              // session lifetime (the caller never sees `candidates`)
+              val snap = candidates.localCheckpoint()
+              candidates.unpersist()
               val seqDf =
-                if (termLegs.isEmpty) candidates.select(col("doc_id"), lit(0.0).as("score"))
-                else sequentialTermMatch(idx, candidates, req.textCol,
+                if (termLegs.isEmpty) snap.select(col("doc_id"), lit(0.0).as("score"))
+                else sequentialTermMatch(idx, snap, req.textCol,
                   termLegs.map(t => t.term -> t.weight), requireAll = true)
               // relational legs score 1 each, like the index path
               Some(seqDf.select(col("doc_id"),

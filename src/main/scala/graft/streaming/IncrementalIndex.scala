@@ -177,11 +177,14 @@ object IncrementalIndex {
     val dst = s"$indexPath/$dstName"
     fs.delete(new Path(dst), true)
 
-    val (td, tg) = idx.tombstones
+    // broadcast tombstones once per executor — embedding the arrays in the
+    // flatMap closure would ship them with every task
+    val tombBc = spark.sparkContext.broadcast(idx.tombstones)
     val mergeCfg = cfg.copy(withPositions = meta.withPositions, blockSize = meta.blockSize)
     // tombstone-filter each block row, then re-merge across segments
     idx.postings.as[PostingBlockRow]
       .flatMap { b =>
+        val (td, tg) = tombBc.value
         val filtered =
           if (td.isEmpty) Some(b)
           else MatchKernel.filterBlocks(Array(b), td, tg)

@@ -89,6 +89,30 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeWithOffsets matches tokenize() term/pos — including loose streams") {
+    val loose = Analyzers.byName("TokenNgram:n=2,loose_symbol=true,loose_blank=true")
+    val samples = Seq("090-1234-5678", "ab-cd ef", "日本 語!テスト", "plain text",
+      "ＡｂＣ-123", "")
+    for (t <- Seq(Analyzers.bigram, loose); s <- samples) {
+      val plain = t.tokenize(s).map(x => (x.term, x.pos)).toSeq
+      val offs = t.tokenizeWithOffsets(s)
+      assert(offs.map(x => (x.term, x.pos)).toSeq == plain, s"'$s' with ${t.name}")
+      // offsets (outside the zero-width separator) must be ordered, in range
+      offs.filter(_.term != "￰").foreach { o =>
+        assert(o.start >= 0 && o.end <= s.length && o.start < o.end, s"'$s' tok $o")
+        // loose-stream offsets map back to the chars that produced the term
+        // (symbol/blank-stripped): the raw slice contains the term's first char
+        if (o.term.nonEmpty && s == "090-1234-5678")
+          assert(s.substring(o.start, o.end).contains(o.term.charAt(0).toString))
+      }
+    }
+    // loose stream emitted: stripped token present with offsets spanning the raw
+    val offs = loose.tokenizeWithOffsets("090-1234")
+    val joined = offs.find(_.term == "0901234")
+    assert(joined.isDefined, "stripped loose token must appear in offset stream")
+    assert(joined.get.start == 0 && joined.get.end == 8)
+  }
+
   test("bigram equals regex word split on pure ascii alnum text") {
     // the invariant the DuckDB oracle relies on for the documents table
     val s = "the fast key order sort 42 batches"

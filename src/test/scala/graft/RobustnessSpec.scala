@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+
+import graft.corpus.WebCorpus
+import graft.index.{GraftIndex, IndexBuilder, IndexConfig, SegmentCatalog}
+import graft.query.{MatchMode, ScoreMode}
+import graft.streaming.IncrementalIndex
+
+/** Regression tests for the round-3 robustness fixes: multi-segment
+  * dictionary-expansion dedup, versioned crash-safe manifest commits, and
+  * broadcast tombstones. */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBase = 200
+  private val nMore = 100
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-robust").toString
+  private lazy val corpus = (0L until (nBase + nMore)).map(i => i -> WebCorpus.text(i, 42L)._1)
+  private lazy val naive = new NaiveSearch(corpus)
+  private lazy val cfg = IndexConfig(bucketBits = 5)
+
+  /** two-segment index over the same vocabulary (append shares terms) */
+  private lazy val idx: GraftIndex = {
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", s"$tmp/idx", cfg)
+    IncrementalIndex.appendSegment(spark, s"$tmp/idx",
+      WebCorpus.generate(spark, nBase + nMore, 4).where($"doc_id" >= nBase),
+      "doc_id", "text", "seg-more", cfg)
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("multi-segment suffix expansion dedupes terms (no double-counted tf)") {
+    assert(idx.meta.segments.length >= 2)
+    // a suffix shared across both segments' vocabularies
+    val sfx = "ka"
+    val expanded = idx.expandSuffix(sfx)
+    assert(expanded == expanded.distinct, "expansion must not repeat terms")
+    val wantTerms = naive.df.keySet.filter(_.endsWith(sfx))
+    assert(expanded.toSet == wantTerms, "expansion covers both segments' terms once")
+    val got = collectScores(idx.searchSuffix(sfx))
+    val want = corpus.flatMap { case (id, _) =>
+      val s = wantTerms.toSeq.map(t => naive.tf(id, t)).sum
+      if (s > 0) Some(id -> s.toDouble) else None
+    }.toMap
+    assert(got == want, "suffix tf must count each term once per doc")
+  }
+
+  test("multi-segment regexp search scores match single-counted tf") {
+    val pattern = "^ka.*"
+    val got = collectScores(idx.searchRegexp(pattern))
+    val wantTerms = naive.df.keySet.filter(_.matches(pattern))
+    val want = corpus.flatMap { case (id, _) =>
+      val s = wantTerms.toSeq.map(t => naive.tf(id, t)).sum
+      if (s > 0) Some(id -> s.toDouble) else None
+    }.toMap
+    assert(got == want)
+  }
+
+  test("multi-segment prefix expansion is distinct and df-summed") {
+    val exp = idx.expandPrefix("ka")
+    assert(exp == exp.distinct)
+    assert(exp.toSet == naive.df.keySet.filter(_.startsWith("ka")))
+  }
+
+  test("manifest recommits are versioned: one survivor, last wins, tmp ignored") {
+    val path = s"$tmp/idx"
+    val fs = SegmentCatalog.fileSystem(spark, path)
+    idx // force build + append (>= 2 commits already happened)
+    val names = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest") && n.endsWith(".json"))
+    assert(names.length == 1, s"exactly one committed manifest, got ${names.toSeq}")
+    // a leftover .tmp from a crashed commit must not confuse the reader
+    val junk = new Path(path, "manifest-999999.json.tmp")
+    val out = fs.create(junk, true); out.write("{}".getBytes("UTF-8")); out.close()
+    val meta = SegmentCatalog.readMeta(fs, path)
+    assert(meta.nDocs == naive.nDocs)
+    fs.delete(junk, false)
+    // recommit bumps the version and removes the predecessor
+    SegmentCatalog.commit(fs, path, meta, Map("noop" -> "recommit"))
+    val after = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest") && n.endsWith(".json"))
+    assert(after.length == 1)
+    assert(after.head > names.head, "version must ascend")
+    assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
+  }
+
+  test("legacy unversioned manifest.json still reads (version -1)") {
+    val path = s"$tmp/idx"
+    val fs = SegmentCatalog.fileSystem(spark, path)
+    val meta = SegmentCatalog.readMeta(fs, path)
+    val cur = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest") && p.getName.endsWith(".json")).head
+    val legacy = new Path(path, SegmentCatalog.ManifestFile)
+    // copy current manifest to the legacy name, drop the versioned one
+    org.apache.hadoop.fs.FileUtil.copy(fs, cur, fs, legacy, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(cur, false)
+    assert(SegmentCatalog.isCommitted(fs, path))
+    assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
+    // a fresh commit supersedes the legacy file and cleans it up
+    SegmentCatalog.commit(fs, path, meta, Map("noop" -> "upgrade"))
+    assert(!fs.exists(legacy), "legacy manifest removed after versioned commit")
+    assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
+  }
+
+  test("tombstones ride a broadcast: deleted docs stay hidden") {
+    val path = s"$tmp/idx2"
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", path, cfg)
+    val terms = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.map(_._1).take(2)
+    val before = collectScores(
+      GraftIndex(spark, path).searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    val victims = before.keys.toSeq.sorted.take(2)
+    val after = IncrementalIndex.delete(spark, path, victims)
+    val got = collectScores(after.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got == before -- victims)
+  }
+}
