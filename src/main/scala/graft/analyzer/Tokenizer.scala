@@ -436,6 +436,25 @@ final class FilteredTokenizer(base: Tokenizer, filters: Seq[TokenFilter]) extend
   override def countTokens(raw: String): Int = tokenize(raw).length
 }
 
+/** Tokenizer wrapped with a configured NormalizerNFKC pre-pass (the
+  * reference's per-index normalizer options: `unify_kana` etc. applied
+  * before tokenization). The spec round-trips through the manifest as
+  * "Base@Nfkc(opt=true,...)". The tokenizer's own NFKC+fold re-run is
+  * idempotent on the pre-normalized text. */
+final class PreNormalizedTokenizer(base: Tokenizer, optSpec: String) extends Tokenizer {
+  val name: String = s"${base.name}@Nfkc($optSpec)"
+  private val opts = NfkcOptions.parse(optSpec)
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] =
+    base.tokenize(NfkcNormalizer.normalize(raw, opts), mode)
+  override def countTokens(raw: String): Int =
+    base.countTokens(NfkcNormalizer.normalize(raw, opts))
+  // offsets refer to the pre-normalized string, not the raw input: fail fast
+  // rather than hand highlight/snippet silently wrong char ranges
+  override def tokenizeWithOffsets(raw: String): Array[OffsetToken] =
+    throw new UnsupportedOperationException(
+      s"$name: offset tokenization through an option-normalizer is not supported")
+}
+
 object Analyzers {
   val bigram = new NgramTokenizer(NgramOptions(n = 2), "TokenBigram")
   val unigram = new NgramTokenizer(NgramOptions(n = 1), "TokenUnigram")
@@ -482,6 +501,11 @@ object Analyzers {
   }
 
   private def byBaseName(name: String): Tokenizer = name match {
+    case spec if spec.contains("@Nfkc(") =>
+      val at = spec.indexOf("@Nfkc(")
+      require(spec.endsWith(")"), s"malformed normalizer spec: $spec")
+      new PreNormalizedTokenizer(byBaseName(spec.take(at)),
+        spec.substring(at + 6, spec.length - 1))
     case "TokenBigram" => bigram
     case "TokenUnigram" => unigram
     case "TokenTrigram" => trigram

@@ -442,7 +442,44 @@ object ExtraQueries {
       |SELECT doc_id, score FROM tf
       |ORDER BY score DESC, doc_id LIMIT 5 OFFSET 2""".stripMargin
 
+  /** `normalize` command equivalent (lib/proc.c proc_normalize) over the
+    * NormalizerNFKC option family: documents text (ASCII, passes through
+    * NFKC+fold as identity = lowercasing of the upper()ed input) plus a
+    * deterministic mixed-script suffix per row exercising unify_kana /
+    * unify_kana_case / unify_hyphen / unify_prolonged_sound_mark. The
+    * suffix expectations are anchored by NormalizerGoldenSpec's 305
+    * reference-transcribed goldens. */
+  def normalizeCmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suffixes = Array(
+      " ヴァイオリン・テスト０１",
+      " データ—ベース検索エンジン",
+      " ＡＢＣ　ｶﾞｷﾞｭｳ")
+    val optSpec = "unify_kana=true,unify_kana_case=true,unify_hyphen=true," +
+      "unify_prolonged_sound_mark=true"
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val opts = graft.analyzer.NfkcOptions.parse(optSpec)
+        it.map { case (id, text) =>
+          val in = text.toUpperCase(java.util.Locale.ROOT) + suffixes((id % 3).toInt)
+          (id, graft.analyzer.NfkcNormalizer.normalize(in, opts))
+        }
+      }
+      .toDF("doc_id", "normalized")
+      .orderBy("doc_id")
+  }
+
+  val normalizeCmdSql: String =
+    """SELECT doc_id, lower(text) || CASE CAST(doc_id % 3 AS INT)
+      |  WHEN 0 THEN ' ゔあいおりん・てすと01'
+      |  WHEN 1 THEN ' でーたーべーす検索えんじん'
+      |  ELSE ' abc がぎゆう' END AS normalized
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize_cmd" -> normalizeCmd,
     "ft_query_syntax" -> querySyntax,
     "ft_query_or_phrase" -> queryOrPhrase,
     "select_cmd" -> selectCmd,
@@ -467,6 +504,7 @@ object ExtraQueries {
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
+    "normalize_cmd" -> normalizeCmdSql,
     "ft_query_syntax" -> querySyntaxSql,
     "ft_query_or_phrase" -> queryOrPhraseSql,
     "select_cmd" -> selectCmdSql,

@@ -113,6 +113,20 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(joined.get.start == 0 && joined.get.end == 8)
   }
 
+  test("@Nfkc pre-normalizer: options round-trip and unify before tokenizing") {
+    val t = Analyzers.byName("TokenBigram@Nfkc(unify_kana=true)")
+    assert(t.name == "TokenBigram@Nfkc(unify_kana=true)")
+    assert(Analyzers.byName(t.name).name == t.name) // manifest round-trip
+    // katakana input tokenizes identically to its hiragana form
+    assert(t.tokenize("カタカナ検索").map(x => (x.term, x.pos)).toSeq ==
+      Analyzers.bigram.tokenize("かたかな検索").map(x => (x.term, x.pos)).toSeq)
+    // filter chain composes after the normalizer spec
+    val tf = Analyzers.byName("TokenBigram@Nfkc(unify_kana=true)+TokenFilterStopWord(the)")
+    assert(tf.tokenize("the カナ").map(_.term).toSeq ==
+      Analyzers.bigram.tokenize("かな").map(_.term).toSeq)
+    intercept[UnsupportedOperationException](t.tokenizeWithOffsets("カナ"))
+  }
+
   test("bigram equals regex word split on pure ascii alnum text") {
     // the invariant the DuckDB oracle relies on for the documents table
     val s = "the fast key order sort 42 batches"
