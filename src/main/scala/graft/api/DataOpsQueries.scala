@@ -117,34 +117,38 @@ object DataOpsQueries {
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
-        bits = 30, maxDist = 2)
+        bits = 48, maxDist = 2, maxBandDf = 256)
       .orderBy("doc_a", "doc_b")
 
-  /** same signature construction as dedup_simhash but 30 bits (16-bit
-    * signatures collide quadratically on a same-domain corpus), then
-    * pigeonhole chunk-blocked pairs verified by exact popcount(xor) —
-    * three 10-bit chunks for bits=30 / maxDist=2 */
+  /** 48-bit signatures (bits 0-29 from polyhash, 30-47 from its affine
+    * re-mix (31h+17) mod P — the scale-safe default: three 16-bit pigeonhole
+    * chunks), band buckets capped at 256 members before the self-join
+    * (mirrors Dedup.simhashPairs maxBandDf), exact popcount(xor) verify */
   val dedupSimhashPairsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |th AS (SELECT doc_id, term, tf, ${sqlPolyHash("term", 131)} AS h FROM tf),
+       |th2 AS (SELECT doc_id, term, tf, h, (31 * h + 17) % 1000000007 AS h2 FROM th),
        |bits AS (
        |  SELECT doc_id, j,
-       |    sum(tf * (((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS s
-       |  FROM th, unnest(range(0, 30)) AS u(j) GROUP BY 1, 2),
+       |    sum(tf * ((((CASE WHEN j < 30 THEN h ELSE h2 END)
+       |      // CAST(power(2, j % 30) AS BIGINT)) % 2) * 2 - 1)) AS s
+       |  FROM th2, unnest(range(0, 48)) AS u(j) GROUP BY 1, 2),
        |sig AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY 1),
        |banded AS (
        |  SELECT doc_id, simhash, b,
-       |    (simhash // CAST(power(2, b * 10) AS BIGINT)) % 1024 AS key
+       |    (simhash // CAST(power(2, b * 16) AS BIGINT)) % 65536 AS key
        |  FROM sig, unnest(range(0, 3)) AS u(b)),
+       |keep AS (SELECT b, key FROM banded GROUP BY 1, 2 HAVING count(*) <= 256),
+       |fb AS (SELECT banded.* FROM banded JOIN keep USING (b, key)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS sa, y.simhash AS sb
-       |  FROM banded x JOIN banded y
+       |  FROM fb x JOIN fb y
        |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 2

@@ -168,6 +168,20 @@ object ExtraQueries {
       |SELECT term, CAST(df AS BIGINT) AS df FROM df
       |WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 10""".stripMargin
 
+  /** suggest-cooccurrence: terms sharing docs with the query term, by
+    * number of co-occurring docs (bucket-pruned postings decode) */
+  def suggestCooccur(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Suggest.suggest(Tables.documentsIndex(spark, dir), "spark", k = 10)
+
+  val suggestCooccurSql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+      |              FROM documents),
+      |matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+      |SELECT t.term AS co_term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+      |FROM toks t JOIN matched m ON t.doc_id = m.doc_id
+      |WHERE t.term <> 'spark'
+      |GROUP BY 1 ORDER BY n_docs DESC, co_term LIMIT 10""".stripMargin
+
   /** suggest-correction: edit-distance candidates ranked (dist, df) */
   def suggestCorrect(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Suggest.correct(Tables.documentsIndex(spark, dir), "sparkk",
@@ -501,6 +515,7 @@ object ExtraQueries {
     "ft_sql_match" -> sqlMatch,
     "suggest_complete" -> suggestComplete,
     "suggest_correct" -> suggestCorrect,
+    "suggest_cooccur" -> suggestCooccur,
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +541,6 @@ object ExtraQueries {
     "ft_sql_match" -> sqlMatchSql,
     "suggest_complete" -> suggestCompleteSql,
     "suggest_correct" -> suggestCorrectSql,
+    "suggest_cooccur" -> suggestCooccurSql,
     "ft_query_expand" -> queryExpandSql)
 }

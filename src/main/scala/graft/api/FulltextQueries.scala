@@ -173,31 +173,68 @@ object FulltextQueries {
        |LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'dup') a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
-  /** match escalation: exact AND finds nothing for truncated tokens ->
-    * escalate to per-token prefix match OR'd (MATCH -> PARTIAL ladder,
-    * grn_ii_sel /root/reference/lib/ii.cpp:15031-15170). */
-  def escalation(spark: SparkSession, dir: String): DataFrame = {
-    val idx = Tables.documentsIndex(spark, dir)
-    val terms = Seq("windo", "strea")
-    // persist the exact leg: the ladder reuses the result set when hits
-    // exist (groonga reuses the result set between escalation rungs) —
-    // limit(1).count() caches the partitions it touches, the final consumer
-    // fills in the rest (no second full match job)
-    val exact = idx.searchTerms(terms, MatchMode.All, ScoreMode.Tf).persist()
-    val n = exact.limit(1).count()
-    val result =
-      if (n > 0) exact
-      else {
-        exact.unpersist()
-        val expanded = terms.flatMap(t => idx.expandPrefix(t)).distinct
-        idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf)
-      }
-    longScore(result)
+  /** OR-accumulate two (doc_id, score) result sets (grn result-set OR:
+    * scores add on overlap, table_selector.c merge ops) */
+  private def orAccumulate(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+
+  /** The FULL match-escalation ladder of grn_ii_sel
+    * (/root/reference/lib/ii.cpp:15031-15170): exact -> UNSPLIT -> PARTIAL,
+    * each rung OR-accumulating into the result set and running only while
+    * accumulated hits <= `threshold` (reference default 0 = escalate only
+    * from empty).
+    *  - UNSPLIT (lib/ii.cpp:10969-10977): ONE term-info over the whole
+    *    blank-stripped normalized query with EX_BOTH expansion — dictionary
+    *    terms having the query as prefix OR suffix. This is the rung that
+    *    catches queries the tokenizer splits apart ("win dow" -> "window").
+    *  - PARTIAL: per-token EX_BOTH expansion.
+    * Each rung is localCheckpoint-materialized: computed once for both the
+    * hit-count probe and the accumulation, no persisted-cache leak. */
+  def searchEscalated(idx: graft.index.GraftIndex, raw: String,
+      threshold: Long = 0L): DataFrame = {
+    def hits(df: DataFrame): Boolean =
+      df.limit((threshold + 1).toInt).count() > threshold
+    val toks = idx.analyzeQuery(raw).map(_._1)
+    val exact = (if (toks.isEmpty) idx.emptyResult
+      else idx.searchTerms(toks, MatchMode.All, ScoreMode.Tf)).localCheckpoint()
+    if (hits(exact)) return exact
+    val whole = graft.analyzer.Normalizer.normalize(raw).text
+      .filterNot(Character.isWhitespace)
+    val unsTerms =
+      if (whole.isEmpty) Nil
+      else (idx.expandPrefix(whole) ++ idx.expandSuffix(whole)).distinct
+    val uns = if (unsTerms.isEmpty) idx.emptyResult
+      else idx.searchTerms(unsTerms, MatchMode.Any, ScoreMode.Tf)
+    val afterUnsplit = orAccumulate(exact, uns).localCheckpoint()
+    if (hits(afterUnsplit)) return afterUnsplit
+    val pTerms = toks.flatMap(t => idx.expandPrefix(t) ++ idx.expandSuffix(t)).distinct
+    val part = if (pTerms.isEmpty) idx.emptyResult
+      else idx.searchTerms(pTerms, MatchMode.Any, ScoreMode.Tf)
+    orAccumulate(afterUnsplit, part)
   }
+
+  /** match escalation reaching the PARTIAL rung: exact AND finds nothing
+    * for truncated tokens, UNSPLIT ("windostrea") finds nothing either,
+    * PARTIAL per-token EX_BOTH expansion matches. */
+  def escalation(spark: SparkSession, dir: String): DataFrame =
+    longScore(searchEscalated(Tables.documentsIndex(spark, dir), "windo strea"))
 
   val escalationSql: String = OracleProlog +
     """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
-      |WHERE term LIKE 'windo%' OR term LIKE 'strea%'
+      |WHERE term LIKE 'windo%' OR term LIKE '%windo'
+      |   OR term LIKE 'strea%' OR term LIKE '%strea'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** match escalation stopping at the UNSPLIT rung: "win dow" tokenizes
+    * into two unknown terms (exact empty), but the blank-stripped whole
+    * query "window" hits the dictionary — the ladder returns the UNSPLIT
+    * result without running PARTIAL. */
+  def escalationUnsplit(spark: SparkSession, dir: String): DataFrame =
+    longScore(searchEscalated(Tables.documentsIndex(spark, dir), "win dow"))
+
+  val escalationUnsplitSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term LIKE 'window%' OR term LIKE '%window'
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** GRN_OP_SIMILAR: OR-match on the rarest tokens of a seed document
@@ -453,6 +490,7 @@ object FulltextQueries {
     "ft_unsplit" -> unsplit,
     "ft_adjuster" -> adjuster,
     "ft_escalation" -> escalation,
+    "ft_escalation_unsplit" -> escalationUnsplit,
     "ft_similar" -> similar,
     "ft_drilldown" -> drilldown,
     "ft_match_columns" -> matchColumns,
@@ -478,6 +516,7 @@ object FulltextQueries {
     "ft_unsplit" -> unsplitSql,
     "ft_adjuster" -> adjusterSql,
     "ft_escalation" -> escalationSql,
+    "ft_escalation_unsplit" -> escalationUnsplitSql,
     "ft_similar" -> similarSql,
     "ft_drilldown" -> drilldownSql,
     "ft_match_columns" -> matchColumnsSql,

@@ -46,20 +46,37 @@ object Suggest {
 
   /** suggestion: terms co-occurring with `term` in the corpus, by number of
     * co-occurring docs (the co-occurrence table of the reference's learner,
-    * computed from the index instead of a query log) */
+    * computed from the index instead of a query log).
+    *
+    * Scale shape: the postings scan is PRUNED to the matched docs' bucket
+    * set with per-bucket doc-range overlap (bucket/min_doc/max_doc are
+    * parquet columns with row-group stats, so untouched buckets are never
+    * read) and rows are filtered by a broadcast sorted-id binary search
+    * BEFORE grouping — never a full-index decode. Matched docs are capped
+    * at `maxDocs` (smallest ids first, deterministic). */
   def suggest(idx: GraftIndex, term: String, k: Int = 10,
       maxDocs: Int = 10000): DataFrame = {
     import idx.spark.implicits._
-    val docs = idx.searchTerms(Seq(term)).select(col("doc_id")).limit(maxDocs)
-    // co-occurrence from the index itself: decode (co_term, doc) pairs and
-    // keep those in the matched doc set
-    val co = idx.postings.as[graft.index.PostingBlockRow]
+    val ids = idx.searchTerms(Seq(term)).select(col("doc_id"))
+      .orderBy(asc("doc_id")).limit(maxDocs).as[Long].collect().sorted
+    if (ids.isEmpty)
+      return idx.spark.emptyDataset[(String, Long)].toDF("co_term", "n_docs")
+    val bits = idx.meta.bucketBits
+    // per-bucket [min,max] of the matched set: postings outside any matched
+    // bucket+range never decode
+    val prune = ids.groupBy(id => (id >> bits).toInt).map { case (b, ds) =>
+      col("bucket") === b && col("max_doc") >= ds.min && col("min_doc") <= ds.max
+    }.reduce(_ || _)
+    val idsBc = idx.spark.sparkContext.broadcast(ids)
+    val co = idx.postings.where(prune).as[graft.index.PostingBlockRow]
       .flatMap { b =>
+        val set = idsBc.value
         val d = graft.codec.PostingCodec.decode(b.payload)
-        (0 until d.count).iterator.map(i => (b.term, d.docIds(i)))
+        (0 until d.count).iterator
+          .filter(i => java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0)
+          .map(i => (b.term, d.docIds(i)))
       }.toDF("co_term", "doc_id")
-    co.join(docs, Seq("doc_id"))
-      .where(col("co_term") =!= term)
+    co.where(col("co_term") =!= term)
       .groupBy(col("co_term")).agg(countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("n_docs"), asc("co_term")).limit(k)
   }

@@ -150,11 +150,16 @@ object Dedup {
     * signature is split into maxDist+1 bit chunks — by pigeonhole, any pair
     * within distance maxDist agrees exactly on at least one chunk — pairs
     * are blocked by (chunk index, chunk value) and verified with an exact
-    * popcount(xor). No all-pairs join; bucket fanout is n/2^chunkWidth per
-    * chunk value, so at scale pick `bits`/`maxDist` with chunkWidth >= ~16
-    * (e.g. 64-bit signatures, maxDist 3). */
+    * popcount(xor).
+    *
+    * Scale shape: defaults give 16-bit chunks (48-bit signatures / 3
+    * chunks), so random-text bucket fanout is n/65536 per chunk value; AND
+    * buckets larger than `maxBandDf` are dropped before the self-join —
+    * on a boilerplate-heavy corpus a popular chunk value would otherwise
+    * go O(m²) (same cap pattern as minhashLshPairs' maxBandDf /
+    * jaccardPairs' maxShingleDf). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxDist: Int = 2): DataFrame = {
+      bits: Int = 48, maxDist: Int = 2, maxBandDf: Int = 256): DataFrame = {
     val sig = simhash(docs, idCol, textCol, bits)
     val bands = maxDist + 1
     val w = (bits + bands - 1) / bands
@@ -163,31 +168,48 @@ object Dedup {
       val key = shiftright(col("simhash"), b * w) % lit(1L << width)
       struct(lit(b).as("band"), key.as("key"))
     }
+    // feeds the df-cap aggregate AND both self-join sides: persist once
     val banded = sig.select(col("id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = banded.as("x").join(banded.as("y"),
+      .persist()
+    val small = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bdf")).where(col("bdf") <= maxBandDf)
+      .select("band", "key")
+    val f = banded.join(small, Seq("band", "key"))
+    val pairs = f.as("x").join(f.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct()
-    pairs
+    val result = pairs
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // pair set is tiny; materialize so the banded cache can be released
+      .localCheckpoint()
+    banded.unpersist()
+    result
   }
 
   /** simhash over word tokens weighted by tf: bit j set iff
-    * sum_terms(tf * sign(bit_j(polyhash(term)))) > 0. `bits` <= 30. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    * sum_terms(tf * sign(bit_j(h))) > 0, where bits 0-29 come from
+    * polyhash(term) and bits 30-59 from its affine re-mix
+    * (31*h+17) mod P — polyhash mod P carries only ~30 usable bits, so
+    * wide signatures need the second stream. `bits` <= 60. Signatures for
+    * bits <= 30 are identical to earlier single-stream ones. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
+    require(bits <= 60, s"simhash supports at most 60 bits (two 30-bit hash streams), got $bits")
     val toks = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("h", poly_hash(col("term")))
+      .withColumn("h2", (col("h") * lit(31L) + lit(17L)) % lit(P))
     val bitSums: Seq[Column] = (0 until bits).map { j =>
-      sum(col("tf") * (shiftright(col("h"), j) % 2 * 2 - 1)).as(s"s$j")
+      val src = if (j < 30) col("h") else col("h2")
+      sum(col("tf") * (shiftright(src, j % 30) % 2 * 2 - 1)).as(s"s$j")
     }
     val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until bits).map { j =>

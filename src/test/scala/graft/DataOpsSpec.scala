@@ -69,6 +69,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sig == sig2)
   }
 
+  test("simhashPairs: band cap stops the quadratic blowup on boilerplate") {
+    // 300 identical docs land in ONE band bucket per chunk; the default cap
+    // drops those buckets, so candidate generation stays linear. Two small
+    // genuinely-near clusters must still pair up.
+    val boiler = (0L until 300L).map(i => (i, "the same boilerplate header text repeated everywhere"))
+    val near = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxBandDf = 256)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1000L, 1001L)), "near pair in a small bucket survives")
+    assert(!capped.exists(p => p._1 < 300L && p._2 < 300L),
+      "capped run must not emit the O(n^2) boilerplate pairs")
+    // uncapped: the same corpus explodes into 300*299/2 identical-doc pairs
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxBandDf = Int.MaxValue)
+      .where(col("doc_a") < 300L && col("doc_b") < 300L).count()
+    assert(uncapped == 300L * 299 / 2)
+  }
+
   test("cosine topK matches brute-force scala") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))

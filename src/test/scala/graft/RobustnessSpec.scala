@@ -108,6 +108,25 @@ class RobustnessSpec extends AnyFunSuite {
     assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
   }
 
+  test("suggest co-occurrence prunes the postings scan by bucket + doc range") {
+    val term = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.head._1
+    val df = graft.operators.Suggest.suggest(idx, term, k = 5, maxDocs = 50)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bucket"), s"postings scan must carry a bucket filter:\n$plan")
+    assert(plan.contains("max_doc") && plan.contains("min_doc"),
+      "postings scan must carry block doc-range overlap filters")
+    // results match a naive co-occurrence count over the capped doc set
+    val matched = corpus.collect { case (id, _) if naive.tf(id, term) > 0 => id }
+      .sorted.take(50).toSet
+    val want = corpus.filter(c => matched.contains(c._1))
+      .flatMap { case (id, text) => naive.tokenized(id).map(_.term).distinct.map(t => (t, id)) }
+      .filter(_._1 != term)
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).distinct.size.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("tombstones ride a broadcast: deleted docs stay hidden") {
     val path = s"$tmp/idx2"
     IndexBuilder.build(spark,
