@@ -492,7 +492,27 @@ object ExtraQueries {
       |  ELSE ' abc がぎゆう' END AS normalized
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
 
+  /** `--filter` script string (grn_ecmascript.lemon subset) compiled to a
+    * Catalyst Column: between(), regexp/prefix match ops, &&/||/&!,
+    * arithmetic — evaluated standalone over the source table. */
+  def selectFilterScript(spark: SparkSession, dir: String): DataFrame = {
+    val script = """between(n_chars, 100, "include", 200, "exclude") &&
+      lang @~ "^(en|de)$" || source @^ "src1" && n_chars % 2 == 0 &! lang == "zh""""
+    graft.operators.Select.select(Tables.documentsIndex(spark, dir),
+      graft.operators.Select.Request(query = "", filterScript = Some(script),
+        source = Some(Tables.table(spark, dir, "documents")),
+        sortKeys = Seq(("doc_id", true)), limit = -1))
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+  }
+
+  val selectFilterScriptSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS score FROM documents
+      |WHERE (n_chars >= 100 AND n_chars < 200 AND regexp_matches(lang, '^(en|de)$'))
+      |   OR (source LIKE 'src1%' AND n_chars % 2 = 0 AND NOT lang = 'zh')
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_filter_script" -> selectFilterScript,
     "normalize_cmd" -> normalizeCmd,
     "ft_query_syntax" -> querySyntax,
     "ft_query_or_phrase" -> queryOrPhrase,
@@ -519,6 +539,7 @@ object ExtraQueries {
     "ft_query_expand" -> queryExpand)
 
   val oracles: Map[String, String] = Map(
+    "select_filter_script" -> selectFilterScriptSql,
     "normalize_cmd" -> normalizeCmdSql,
     "ft_query_syntax" -> querySyntaxSql,
     "ft_query_or_phrase" -> queryOrPhraseSql,

@@ -173,6 +173,33 @@ object FulltextQueries {
        |LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'dup') a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** named scorer scorer_tf_at_most(max): per-leg score min(tf, max)
+    * (/root/reference/lib/scorers.c:55-90) */
+  def scorerTfAtMost(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.TfAtMost(2.0)))
+
+  val scorerTfAtMostSql: String = OracleProlog +
+    """SELECT doc_id, CAST(least(tf, 2) AS BIGINT) AS score FROM tf
+      |WHERE term = 'spark' ORDER BY doc_id""".stripMargin
+
+  /** named scorer scorer_tf_idf: per-leg max(tf * ln(N/df), 1), legs
+    * OR-accumulate (/root/reference/lib/scorers.c:26-53) */
+  def scorerTfIdf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsIndex(spark, dir)
+      .searchTerms(Seq("spark", "window"), MatchMode.Any, ScoreMode.TfIdf)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+
+  val scorerTfIdfSql: String = OracleProlog +
+    """SELECT doc_id, round(sum(leg), 4) AS score FROM (
+      |  SELECT t.doc_id,
+      |    CASE WHEN d.df >= s.n_docs THEN 1.0
+      |         ELSE greatest(t.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df), 1.0) END AS leg
+      |  FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+      |  WHERE t.term IN ('spark', 'window'))
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** OR-accumulate two (doc_id, score) result sets (grn result-set OR:
     * scores add on overlap, table_selector.c merge ops) */
   private def orAccumulate(a: DataFrame, b: DataFrame): DataFrame =
@@ -491,6 +518,8 @@ object FulltextQueries {
     "ft_adjuster" -> adjuster,
     "ft_escalation" -> escalation,
     "ft_escalation_unsplit" -> escalationUnsplit,
+    "scorer_tf_at_most" -> scorerTfAtMost,
+    "scorer_tf_idf" -> scorerTfIdf,
     "ft_similar" -> similar,
     "ft_drilldown" -> drilldown,
     "ft_match_columns" -> matchColumns,
@@ -517,6 +546,8 @@ object FulltextQueries {
     "ft_adjuster" -> adjusterSql,
     "ft_escalation" -> escalationSql,
     "ft_escalation_unsplit" -> escalationUnsplitSql,
+    "scorer_tf_at_most" -> scorerTfAtMostSql,
+    "scorer_tf_idf" -> scorerTfIdfSql,
     "ft_similar" -> similarSql,
     "ft_drilldown" -> drilldownSql,
     "ft_match_columns" -> matchColumnsSql,

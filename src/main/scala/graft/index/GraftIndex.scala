@@ -164,7 +164,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     }
     ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
       sectionWeights = resolveSectionWeights(sectionWeights),
-      sectioned = meta.sections.nonEmpty)
+      sectioned = meta.sections.nonEmpty, nDocs = meta.nDocs)
   }
 
   /** Core search: (doc_id, score) matches for the given terms.
@@ -235,7 +235,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       }
     }
     val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
-      sectioned = meta.sections.nonEmpty)
+      sectioned = meta.sections.nonEmpty, nDocs = meta.nDocs)
     val blocks = postings.where($"term".isin(allTerms: _*)).as[PostingBlockRow]
     runKernel(q, blocks)
   }
@@ -270,7 +270,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     if (liveGroups.size < groups.size) return emptyResult
     val queryTerms = rts.map(_.term).distinct
     val q = ResolvedQuery(rts.toArray, mode, score, meta.avgdl, topK,
-      sectioned = meta.sections.nonEmpty)
+      sectioned = meta.sections.nonEmpty, nDocs = meta.nDocs)
     val blocks = postings.where($"term".isin(queryTerms: _*)).as[PostingBlockRow]
     runKernel(q, blocks)
   }

@@ -43,6 +43,11 @@ object SegmentCatalog {
   def isCommitted(fs: FileSystem, outPath: String): Boolean =
     manifests(fs, outPath).nonEmpty
 
+  /** opaque snapshot marker: changes with every commit (the latest manifest
+    * file name) — cache-invalidation key for query-result caches */
+  def snapshotVersion(fs: FileSystem, outPath: String): String =
+    manifests(fs, outPath).lastOption.map(_._2.getName).getOrElse("uncommitted")
+
   def stageComplete(fs: FileSystem, stagePath: String): Boolean =
     fs.exists(new Path(stagePath, "_SUCCESS"))
 

@@ -36,7 +36,13 @@ object Select {
         * evaluated by tokenizing just those rows' text instead of scanning
         * the index. 0 disables. Needs source + textCol. */
       sequentialThreshold: Long = 0L,
-      textCol: String = "text")
+      textCol: String = "text",
+      /** `--filter` script string (grn_ecmascript subset compiled to a
+        * Catalyst Column by ScriptParser); evaluated against `source` and
+        * AND-combined with the query result set. With an empty `query`,
+        * the filter alone selects (score 1 per match, reference filter
+        * scoring). Needs `source`. */
+      filterScript: Option[String] = None)
 
   private def flattenAnd(n: Node): List[Node] = n match {
     case AndQ(l, r) => flattenAnd(l) ++ flattenAnd(r)
@@ -198,6 +204,22 @@ object Select {
     * relational legs alone select few enough rows skips the index for its
     * term legs (sequential-scan fallback). */
   def select(idx: GraftIndex, req: Request): DataFrame = {
+    // --filter alone: script predicate over the source table, score 1
+    if (req.query.trim.isEmpty) {
+      val src = req.source.getOrElse(throw new IllegalArgumentException(
+        "--filter without --query needs a source table (Request.source)"))
+      val script = req.filterScript.getOrElse(throw new IllegalArgumentException(
+        "Request needs a query or a filterScript"))
+      var df = src.where(ScriptParser.compile(script, src.col(_)))
+        .select(col("doc_id"), lit(1.0).as("score"))
+      req.postFilter.foreach(f => df = df.where(f))
+      req.scorer.foreach(fn => df = df.withColumn("score", fn(df)))
+      val sortCols = req.sortKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+      var out = df.orderBy(sortCols: _*)
+      if (req.offset > 0) out = out.offset(req.offset)
+      if (req.limit >= 0) out = out.limit(req.limit)
+      return out
+    }
     val parsed = QueryParser.parse(req.query)
     val sequential: Option[DataFrame] =
       if (req.sequentialThreshold <= 0 || req.source.isEmpty ||
@@ -234,6 +256,13 @@ object Select {
       }
     var df = sequential.getOrElse(
       eval(idx, parsed, req.score, req.source))
+    // --query + --filter: filter restricts the match result set (AND)
+    req.filterScript.foreach { script =>
+      val src = req.source.getOrElse(throw new IllegalArgumentException(
+        "filterScript needs a source table (Request.source)"))
+      df = df.join(src.where(ScriptParser.compile(script, src.col(_)))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    }
     req.postFilter.foreach(f => df = df.where(f))
     req.scorer.foreach(fn => df = df.withColumn("score", fn(df)))
     val sortCols = req.sortKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }

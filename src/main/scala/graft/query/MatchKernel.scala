@@ -43,6 +43,13 @@ object ScoreMode {
   /** Okapi BM25 with the reference's constants and idf
     * (/root/reference/lib/tokenizers.c:2110-2111, 2637-2652) */
   final case class Bm25(k1: Double = 2.0, b: Double = 0.75) extends ScoreMode
+  /** named scorer proc scorer_tf_at_most(max): per-leg score = min(tf, max)
+    * (/root/reference/lib/scorers.c:55-90) */
+  final case class TfAtMost(max: Double) extends ScoreMode
+  /** named scorer proc scorer_tf_idf: per-leg score =
+    * max(tf * ln(nDocs / (sum(df)/n_tokens)), 1), or 1 when the estimate
+    * reaches the corpus size (/root/reference/lib/scorers.c:26-53) */
+  case object TfIdf extends ScoreMode
 }
 
 final case class ResolvedTerm(
@@ -79,10 +86,19 @@ final case class ResolvedQuery(
       * usual. Compact folds tombstones away and restores the fast path
       * everywhere. */
     tombDocs: Array[Long] = Array.emptyLongArray,
-    tombGens: Array[Int] = Array.emptyIntArray) {
+    tombGens: Array[Int] = Array.emptyIntArray,
+    /** corpus doc count, needed only by ScoreMode.TfIdf's query idf */
+    nDocs: Long = 0L) {
   def sectionWeight(sid: Int): Double =
     if (sectionWeights.isEmpty || sid - 1 >= sectionWeights.length) 1.0
     else sectionWeights(sid - 1)
+
+  /** scorer_tf_idf leg idf over a term set: ln(nDocs / (sum(df)/n)),
+    * 0 when the estimate reaches the corpus (record then scores min 1.0) */
+  def tfIdfLegIdf(terms: Iterable[ResolvedTerm]): Double = {
+    val est = terms.map(_.df).sum.toDouble / terms.size
+    if (est <= 0 || est >= nDocs) 0.0 else math.log(nDocs / est)
+  }
 }
 
 object Bm25 {
@@ -365,6 +381,10 @@ object MatchKernel {
       case ScoreMode.Tf => tf * c.rt.weight
       case ScoreMode.Bm25(k1, b) =>
         c.rt.idf * c.rt.weight * Bm25.weight(tf, c.dl.toDouble, q.avgdl, k1, b)
+      case ScoreMode.TfAtMost(max) => math.min(tf, max) * c.rt.weight
+      case ScoreMode.TfIdf =>
+        val idf = q.tfIdfLegIdf(Seq(c.rt))
+        (if (idf == 0.0) 1.0 else math.max(tf * idf, 1.0)) * c.rt.weight
     }
   }
 
@@ -466,6 +486,10 @@ object MatchKernel {
             // phrase scored as a unit: idf of the rarest member term
             val idf = aligned.map(_.rt.idf).max
             idf * Bm25.weight(weighted, base.dl.toDouble, q.avgdl, k1, b)
+          case ScoreMode.TfAtMost(max) => math.min(weighted, max)
+          case ScoreMode.TfIdf =>
+            val idf = q.tfIdfLegIdf(aligned.map(_.rt).toSeq)
+            if (idf == 0.0) 1.0 else math.max(weighted * idf, 1.0)
         })
       case MatchMode.Near(maxInterval) =>
         // minimal window over all terms' positions within maxInterval,
@@ -511,6 +535,10 @@ object MatchKernel {
               case ScoreMode.Bm25(k1, b) =>
                 val idf = aligned.map(_.rt.idf).max
                 idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
+              case ScoreMode.TfAtMost(max) => math.min(s, max)
+              case ScoreMode.TfIdf =>
+                val idf = q.tfIdfLegIdf(aligned.map(_.rt).toSeq)
+                if (idf == 0.0) 1.0 else math.max(s * idf, 1.0)
             })
           }
         }
@@ -562,6 +590,10 @@ object MatchKernel {
             case ScoreMode.Bm25(k1, b) =>
               val idf = aligned.map(_.rt.idf).max
               idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
+            case ScoreMode.TfAtMost(max) => math.min(s, max)
+            case ScoreMode.TfIdf =>
+              val idf = q.tfIdfLegIdf(aligned.map(_.rt).toSeq)
+              if (idf == 0.0) 1.0 else math.max(s * idf, 1.0)
           }
           out += ((minDoc, score))
         }

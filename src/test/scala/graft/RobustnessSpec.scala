@@ -127,6 +127,32 @@ class RobustnessSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("select LRU cache: repeats hit, mutation invalidates, results identical") {
+    val path = s"$tmp/idx3"
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", path, cfg)
+    val cache = new graft.operators.SelectCache(capacity = 8)
+    val term = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.head._1
+    val req = graft.operators.Select.Request(query = term, limit = 5)
+    def run(): Seq[(Long, Double)] =
+      cache.select(GraftIndex(spark, path), req)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val first = run()
+    assert(cache.misses == 1 && cache.hits == 0)
+    assert(run() == first && cache.hits == 1, "repeat must be a cache hit")
+    // mutation commits a new manifest -> different snapshot key -> miss
+    val victim = first.head._1
+    IncrementalIndex.delete(spark, path, Seq(victim))
+    val after = run()
+    assert(cache.misses == 2, "post-mutation select must recompute")
+    assert(!after.exists(_._1 == victim), "stale cached row must not resurface")
+    // uncacheable requests bypass (no counters move)
+    val (h, m) = (cache.hits, cache.misses)
+    cache.select(GraftIndex(spark, path),
+      req.copy(postFilter = Some(org.apache.spark.sql.functions.col("score") > 0)))
+    assert(cache.hits == h && cache.misses == m)
+  }
+
   test("tombstones ride a broadcast: deleted docs stay hidden") {
     val path = s"$tmp/idx2"
     IndexBuilder.build(spark,
