@@ -39,6 +39,9 @@ object Bench {
       graft.api.Tables.documentsIndex(spark, sfDir)
       graft.api.Tables.documentsSectionedIndex(spark, sfDir)
       graft.api.Tables.documentsStemmedIndex(spark, sfDir)
+      // build+mutate phase of the ft_after_update* gates lands here, so
+      // their per-query numbers measure the queries over the mutated index
+      graft.api.Tables.documentsMutatedIndex(spark, sfDir)
       Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")
         .foreach(t => graft.api.Tables.table(spark, sfDir, t).count())
     }
@@ -87,11 +90,23 @@ object Bench {
     }.sorted
     def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
 
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
       s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
-      s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}""")
+      s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}"""
+    println(json)
+    // the full metric line also goes to its own file: stdout capture has
+    // been observed tail-truncating the driver artifact (r2 lost 15/78
+    // per-query timings), and the JSON is the round's primary evidence
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

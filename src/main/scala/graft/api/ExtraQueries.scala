@@ -394,6 +394,45 @@ object ExtraQueries {
       |  (lat <= 50.0 AND lat >= 0.0 AND lon >= 100.0 AND lon <= 160.0) AS in_rect
       |FROM pts ORDER BY c_custkey""".stripMargin
 
+  private val geoTableWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** in_circle/in_rectangle through the zcell GEO INDEX (pat-trie geohash
+    * scan analogue, lib/geo.c:999): points persisted sorted by Z-order cell,
+    * query shapes become pushed-down cell ranges + exact verify — same rows
+    * as the full-scan oracle, but the scan prunes row groups at scale. */
+  def geoInIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoIndex
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = geoTableWritten.computeIfAbsent(key, { _ =>
+      val p = s"/tmp/graft-cache/$key/geo-pts"
+      GeoIndex.writeGeoTable(geoPoints(spark, dir), "lat", "lon", p, numFiles = 8)
+      p
+    })
+    val stored = spark.read.parquet(path)
+    val circ = GeoIndex.inCircleIndexed(stored, col("lat"), col("lon"), col("zcell"),
+        35.0, 139.0, 3000000.0)
+      .select(col("c_custkey"), lit("circle").as("shape"))
+    val rect = GeoIndex.inRectangleIndexed(stored, col("lat"), col("lon"), col("zcell"),
+        50.0, 100.0, 0.0, 160.0)
+      .select(col("c_custkey"), lit("rect").as("shape"))
+    circ.unionByName(rect).orderBy("shape", "c_custkey")
+  }
+
+  val geoInIndexedSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey, (abs(c_acctbal) % 120.0) - 60.0 AS lat,
+      |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
+      |  FROM customer)
+      |SELECT c_custkey, 'circle' AS shape FROM pts
+      |WHERE 2.0 * 6371009.0 * asin(sqrt(
+      |    pow(sin(radians(35.0 - lat) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(35.0)) *
+      |    pow(sin(radians(139.0 - lon) / 2), 2))) <= 3000000.0
+      |UNION ALL
+      |SELECT c_custkey, 'rect' AS shape FROM pts
+      |WHERE lat <= 50.0 AND lat >= 0.0 AND lon >= 100.0 AND lon <= 160.0
+      |ORDER BY shape, c_custkey""".stripMargin
+
   /** query-syntax evaluation: `spark +join -dup` (default-AND, AND-NOT)
     * through parser + result-set ops (SURVEY §2.2 --query / §2.8). */
   def querySyntax(spark: SparkSession, dir: String): DataFrame = {
@@ -528,6 +567,7 @@ object ExtraQueries {
     "term_df_ratio" -> termDfRatio,
     "geo_distance" -> geoDistance,
     "geo_in" -> geoIn,
+    "geo_in_indexed" -> geoInIndexed,
     "term_extract" -> termExtract,
     "html_untag" -> htmlUntag,
     "json_extract" -> jsonExtract,
@@ -555,6 +595,7 @@ object ExtraQueries {
     "term_df_ratio" -> termDfRatioSql,
     "geo_distance" -> geoDistanceSql,
     "geo_in" -> geoInSql,
+    "geo_in_indexed" -> geoInIndexedSql,
     "term_extract" -> termExtractSql,
     "html_untag" -> htmlUntagSql,
     "json_extract" -> jsonExtractSql,

@@ -291,36 +291,51 @@ object FulltextQueries {
     * doc_id%50==3 with new text, then search — tombstones + key-merge
     * (lib/load.c:794-1203, grn_ii_delete_one lib/grn_ii.h:158). The oracle
     * computes the same query over the mutated corpus directly. */
-  def afterUpdate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.index.{GraftIndex, IndexBuilder, IndexConfig, SegmentCatalog}
-    val docs = Tables.table(spark, dir, "documents")
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val out = s"/tmp/graft-cache/$key/upd-idx"
-    // the mutation sequence is not idempotent on a committed index: rebuild
-    val fs = SegmentCatalog.fileSystem(spark, out)
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    IndexBuilder.build(spark, docs, "doc_id", "text", out,
-      IndexConfig(tokenizer = "TokenBigram"))
-    graft.streaming.IncrementalIndex.delete(spark, out,
-      docs.where(col("doc_id") % 50 === 7).select("doc_id"))
-    graft.streaming.IncrementalIndex.upsert(spark, out,
-      docs.where(col("doc_id") % 50 === 3)
-        .select(col("doc_id"), lit("graftupd graftupd spark").as("text")),
-      "doc_id", "text", "seg-upd", IndexConfig(tokenizer = "TokenBigram"))
-    longScore(GraftIndex(spark, out).searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf))
-  }
+  def afterUpdate(spark: SparkSession, dir: String): DataFrame =
+    longScore(Tables.documentsMutatedIndex(spark, dir)
+      .searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf))
 
-  val afterUpdateSql: String =
+  /** oracle prologue over the POST-MUTATION corpus (deterministic batch
+    * Tables.documentsMutatedIndex applies): same CTEs as OracleProlog so
+    * the BM25 formula below is shared verbatim */
+  private val MutatedProlog: String =
     """WITH cur AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 50 = 3 THEN 'graftupd graftupd spark' ELSE text END AS text
       |  FROM documents WHERE doc_id % 50 <> 7),
-      |toks AS (
-      |  SELECT doc_id, unnest(list_filter(
-      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
-      |  FROM cur)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM toks
-      |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |tl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM cur),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |""".stripMargin
+
+  val afterUpdateSql: String = MutatedProlog +
+    """SELECT doc_id, CAST(tf AS BIGINT) AS score FROM tf
+      |WHERE term = 'spark' ORDER BY doc_id""".stripMargin
+
+  /** BM25 over the mutated, UNCOMPACTED index: exercises the resolve-time
+    * exact df/idf recomputation under tombstones (GraftIndex.exactTermStats)
+    * — the oracle computes BM25 from a from-scratch mutated corpus, so any
+    * df/avgdl drift would flip the hash. */
+  def afterUpdateBm25(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsMutatedIndex(spark, dir)
+      .searchTerms(Seq("spark", "dup"), MatchMode.Any, ScoreMode.Bm25())
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+
+  val afterUpdateBm25Sql: String = MutatedProlog +
+    s"""SELECT doc_id, round(score, 4) AS score FROM (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |        tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE term IN ${sqlList(Seq("spark", "dup"))}
+       |  GROUP BY tf.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** stemmed index + stemmed query: 'queries' matches docs containing
     * 'query'/'queries' — the token-filter pipeline applied consistently on
@@ -530,6 +545,7 @@ object FulltextQueries {
     "ft_suffix" -> suffix,
     "ft_query_relational" -> queryRelational,
     "ft_after_update" -> afterUpdate,
+    "ft_after_update_bm25" -> afterUpdateBm25,
     "ft_stemmed" -> stemmed)
 
   val oracles: Map[String, String] = Map(
@@ -558,5 +574,6 @@ object FulltextQueries {
     "ft_suffix" -> suffixSql,
     "ft_query_relational" -> queryRelationalSql,
     "ft_after_update" -> afterUpdateSql,
+    "ft_after_update_bm25" -> afterUpdateBm25Sql,
     "ft_stemmed" -> stemmedSql)
 }

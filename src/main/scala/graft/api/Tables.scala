@@ -35,6 +35,33 @@ object Tables {
     })
   }
 
+  /** Base documents index with a deterministic mutation batch applied:
+    * doc_id % 50 == 7 deleted, doc_id % 50 == 3 upserted to a fixed marker
+    * text. Built ONCE per JVM (like the other gate indexes) so the
+    * `ft_after_update*` gates measure query cost — the build/mutate phase
+    * lands in the bench warm-up, reported under gate_index_build_s. The
+    * mutation sequence is not idempotent on an already-mutated on-disk
+    * index, so the directory is recreated on first use in each JVM. */
+  def documentsMutatedIndex(spark: SparkSession, sfDir: String): GraftIndex = {
+    import org.apache.spark.sql.functions._
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "-mut"
+    cache.computeIfAbsent(key, { _ =>
+      val out = s"/tmp/graft-cache/$key/documents-idx"
+      val fs = graft.index.SegmentCatalog.fileSystem(spark, out)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = table(spark, sfDir, "documents")
+      IndexBuilder.build(spark, docs, "doc_id", "text", out,
+        IndexConfig(tokenizer = "TokenBigram"))
+      graft.streaming.IncrementalIndex.delete(spark, out,
+        docs.where(col("doc_id") % 50 === 7).select("doc_id"))
+      graft.streaming.IncrementalIndex.upsert(spark, out,
+        docs.where(col("doc_id") % 50 === 3)
+          .select(col("doc_id"), lit("graftupd graftupd spark").as("text")),
+        "doc_id", "text", "seg-upd", IndexConfig(tokenizer = "TokenBigram"))
+      GraftIndex(spark, out)
+    })
+  }
+
   /** Two-column sectioned index (title = first 5 whitespace tokens of text,
     * derived deterministically; body = full text) — the match_columns
     * "title * W || text" surface. */

@@ -113,20 +113,57 @@ final case class GraftIndex(spark: SparkSession, path: String) {
 
   /** driver-side stats lookup for a small set of query terms (tiny result;
     * the IN filter prunes parquet row groups). Aggregates across segments;
-    * memoized per index instance (term stats are immutable per snapshot). */
+    * memoized per index instance (term stats are immutable per snapshot).
+    *
+    * On an index with UNCOMPACTED mutations the per-segment dictionary rows
+    * overcount: a deleted doc still sits in its segment's df, and an
+    * upserted doc counts once per segment that carries it. nDocs/avgdl are
+    * kept exact through mutations at commit time; per-term df/total_tf are
+    * made exact here at resolve time instead, by decoding just the query
+    * terms' postings (the same blocks the kernel is about to scan) under
+    * the tombstone generation filter — so BM25 idf over a mutated index
+    * matches a from-scratch rebuild exactly. */
   def termStats(qterms: Seq[String]): Map[String, TermStatRow] = {
     val missing = qterms.distinct.filterNot(termStatCache.containsKey)
     if (missing.nonEmpty) {
-      val fetched = terms.where($"term".isin(missing: _*))
-        .groupBy($"term")
-        .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
-          max($"max_tf").cast("int").as("max_tf"))
-        .as[TermStatRow]
-        .collect().map(t => t.term -> t).toMap
+      val fetched =
+        if (deletesDf.isEmpty)
+          terms.where($"term".isin(missing: _*))
+            .groupBy($"term")
+            .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
+              max($"max_tf").cast("int").as("max_tf"))
+            .as[TermStatRow]
+            .collect().map(t => t.term -> t).toMap
+        else exactTermStats(missing)
       missing.foreach(t => termStatCache.put(t, fetched.get(t)))
     }
     qterms.distinct.flatMap(t =>
       Option(termStatCache.get(t)).flatten.map(t -> _)).toMap
+  }
+
+  /** exact per-term stats under tombstones: decode the terms' postings,
+    * drop generations a tombstone hides, count distinct live docs (sectioned
+    * payloads repeat a doc per sid — distinct, not count). max_tf stays the
+    * dictionary upper bound semantics: max over live entries. */
+  private def exactTermStats(missing: Seq[String]): Map[String, TermStatRow] = {
+    val bc = tombBc
+    postings.where($"term".isin(missing: _*))
+      .select($"term", $"seg_ord", $"payload")
+      .as[(String, Int, Array[Byte])]
+      .flatMap { case (t, seg, payload) =>
+        val (td, tg) = bc.value
+        val d = graft.codec.PostingCodec.decode(payload)
+        (0 until d.count).iterator.filter { i =>
+          val j = java.util.Arrays.binarySearch(td, d.docIds(i))
+          j < 0 || seg >= tg(j)
+        }.map(i => (t, d.docIds(i), d.tfs(i)))
+      }.toDF("term", "doc_id", "tf")
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"),
+        sum($"tf").cast("long").as("total_tf"),
+        max($"tf").cast("int").as("max_tf"))
+      .as[TermStatRow]
+      .collect().map(t => t.term -> t).toMap
   }
 
   /** Position-dependent match modes need an index built withPositions —

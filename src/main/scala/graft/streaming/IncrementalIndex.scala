@@ -138,8 +138,10 @@ object IncrementalIndex {
     * tombstone the incoming ids across all existing segments, then append
     * the new versions as a fresh segment. Buckets touched by the upsert pay
     * a decode-merge at query time until the next compact; untouched buckets
-    * keep the streaming fast path. Corpus stats (nDocs/avgdl/idf) drift
-    * until compact — TF scores are exact. */
+    * keep the streaming fast path. Corpus stats (nDocs/avgdl) are exact at
+    * commit time, and per-term df/idf are recomputed exactly at resolve
+    * time while tombstones exist (GraftIndex.exactTermStats) — so TF and
+    * BM25 both match a from-scratch rebuild without waiting for compact. */
   def upsert(
       spark: SparkSession,
       indexPath: String,

@@ -60,6 +60,19 @@ object ExplainCheck {
     val p5 = plan(graft.api.RelationalQueries.drilldownNested(spark, dir))
     check("nested drilldown broadcast join", p5.contains("BroadcastHashJoin"), p5)
 
+    // 6. geo cell index: zcell ranges are pushed into the point scan
+    val geoDir = java.nio.file.Files.createTempDirectory("graft-geo").toString + "/pts"
+    graft.functions.GeoIndex.writeGeoTable(
+      spark.range(1000).select(col("id"),
+        (col("id") % 180 - 90).cast("double").as("lat"),
+        (col("id") % 360 - 180).cast("double").as("lon")),
+      "lat", "lon", geoDir, numFiles = 4)
+    val p6 = plan(graft.functions.GeoIndex.inCircleIndexed(
+      spark.read.parquet(geoDir), col("lat"), col("lon"), col("zcell"),
+      35.0, 139.0, 500000.0))
+    check("geo zcell range pushdown",
+      p6.contains("PushedFilters") && p6.contains("zcell"), p6)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)
