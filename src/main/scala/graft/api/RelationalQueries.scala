@@ -319,7 +319,68 @@ object RelationalQueries {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l2sq
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** groonga cast rules (grn_caster_cast, lib/cast.cpp) over deterministic
+    * edge-case strings: text→bool is non-empty (so "false" is TRUE),
+    * text→int parses whole-string integer else whole-string number
+    * truncated toward zero else invalid, narrowing wraps two's-complement
+    * (static_cast), and the load path substitutes the default on invalid. */
+  def castRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Casts
+    val s = t(spark, dir, "documents").where(col("doc_id") < 400)
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 0, (col("doc_id") * 37).cast("string"))
+          .when(col("doc_id") % 8 === 1, concat(lit("-"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 8 === 2, concat(col("doc_id").cast("string"), lit(".5")))
+          .when(col("doc_id") % 8 === 3, lit("12abc"))
+          .when(col("doc_id") % 8 === 4, lit(""))
+          .when(col("doc_id") % 8 === 5, lit("false"))
+          .when(col("doc_id") % 8 === 6, lit("1e3"))
+          .otherwise(lit(" 7")).as("s"))
+    s.select(col("doc_id"), col("s"),
+        Casts.textToLong(col("s")).as("to_i64"),
+        Casts.loose(Casts.textToLong(col("s"))).as("to_i64_loose"),
+        Casts.textToInt(col("s"), 8).as("to_i8"),
+        Casts.textToBool(col("s")).as("to_bool"),
+        Casts.narrowToInt(col("doc_id") * 97, 8).as("narrow_i8"),
+        Casts.boolToText(col("doc_id") % 2 === 0).as("bool_txt"))
+      .orderBy("doc_id")
+  }
+
+  val castRulesSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN CAST(doc_id * 37 AS VARCHAR)
+      |      WHEN 1 THEN '-' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN CAST(doc_id AS VARCHAR) || '.5'
+      |      WHEN 3 THEN '12abc'
+      |      WHEN 4 THEN ''
+      |      WHEN 5 THEN 'false'
+      |      WHEN 6 THEN '1e3'
+      |      ELSE ' 7' END AS s
+      |  FROM documents WHERE doc_id < 400),
+      |casted AS (
+      |  SELECT doc_id, s,
+      |    CASE WHEN regexp_matches(s, '^-?[0-9]+$') THEN TRY_CAST(s AS BIGINT)
+      |         WHEN regexp_matches(s, '^-?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+      |           THEN TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+      |         ELSE NULL END AS to_i64
+      |  FROM src)
+      |SELECT doc_id, s, to_i64,
+      |  COALESCE(to_i64, 0) AS to_i64_loose,
+      |  CASE WHEN to_i64 IS NULL THEN NULL
+      |       WHEN ((to_i64 % 256) + 256) % 256 >= 128
+      |         THEN ((to_i64 % 256) + 256) % 256 - 256
+      |       ELSE ((to_i64 % 256) + 256) % 256 END AS to_i8,
+      |  length(s) > 0 AS to_bool,
+      |  CASE WHEN ((doc_id * 97 % 256) + 256) % 256 >= 128
+      |       THEN ((doc_id * 97 % 256) + 256) % 256 - 256
+      |       ELSE ((doc_id * 97 % 256) + 256) % 256 END AS narrow_i8,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS bool_txt
+      |FROM casted ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cast_rules" -> castRules,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
     "drilldown_nested" -> drilldownNested,
@@ -339,6 +400,7 @@ object RelationalQueries {
     "vector_fns" -> vectorFns)
 
   val oracles: Map[String, String] = Map(
+    "cast_rules" -> castRulesSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
     "drilldown_nested" -> drilldownNestedSql,

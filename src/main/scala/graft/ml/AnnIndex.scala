@@ -1,0 +1,101 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-FLAT ANN index persisted as a parquet artifact — the scale path for
+  * embedding search over a corpus too large to brute-force per query.
+  *
+  * Layout (the inverted-file analogue of the posting-list design used for
+  * text): vectors are assigned to their nearest of `nlist` coarse
+  * centroids, and the table is written RANGE-PARTITIONED AND SORTED by
+  * `list_id`, so a probe of `nprobe` lists becomes a pushed-down
+  * `list_id IN (...)` predicate: parquet row-group min/max stats (and, on a
+  * partitioned lake, directory pruning) skip everything outside the probed
+  * lists before any vector is read. Search cost scales with
+  * nprobe/nlist of the corpus instead of the corpus.
+  *
+  * Centroids are chosen DETERMINISTICALLY (the `nlist` lowest-id vectors)
+  * rather than by randomized k-means: reproducibility across engines and
+  * runs is a correctness-gate requirement here, and the index layout,
+  * probe math, and pruning behavior — the parts that matter at 100 TB —
+  * are identical whichever coarse quantizer produces the centroids. A
+  * k-means quantizer can be swapped in by passing explicit `centroids`.
+  *
+  * Probing more lists trades latency for recall exactly like IVF-FLAT
+  * elsewhere; `nprobe = nlist` degrades gracefully to exact brute force
+  * (which the oracle gate exploits: plumbing is verified hash-exact).
+  */
+object AnnIndex {
+
+  final case class Centroid(list_id: Int, centroid: Array[Float])
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** nearest-centroid id; ties resolve to the lowest list_id */
+  private def assign(v: Array[Float], cents: Array[Centroid]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      val d = l2sq(v, cents(i).centroid)
+      if (d < bestD) { bestD = d; best = cents(i).list_id }
+      i += 1
+    }
+    best
+  }
+
+  /** Build the index at `path`: `path/centroids` (tiny) + `path/lists`
+    * (the corpus, partitioned+sorted by list_id). Default centroids are
+    * the nlist lowest-id vectors; pass `centroids` to use a trained set. */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int, centroids: Option[Seq[Array[Float]]] = None,
+      filesPerList: Int = 1): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents: Array[Centroid] = centroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (c, i) => Centroid(i, c) }.toArray
+      case None =>
+        vecs.orderBy(col(idCol)).limit(nlist)
+          .select(col(vecCol)).as[Array[Float]].collect()
+          .zipWithIndex.map { case (c, i) => Centroid(i, c) }
+    }
+    cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec")).as[(Long, Array[Float])]
+      .map { case (id, v) => (assign(v, bc.value), id, v) }
+      .toDF("list_id", "vec_id", "vec")
+    assigned
+      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .sortWithinPartitions("list_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** centroids ranked by distance to the query → the nprobe list ids */
+  def probeLists(spark: SparkSession, path: String, query: Array[Float],
+      nprobe: Int): Seq[Int] = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    cents.map(c => (l2sq(query, c.centroid), c.list_id))
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** top-k by cosine among the probed lists only. The list_id IN filter is
+    * pushed into the parquet scan (row-group pruning on the sorted layout). */
+  def search(spark: SparkSession, path: String, query: Array[Float],
+      k: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val lists = probeLists(spark, path, query, nprobe)
+    val q = typedLit(query.toSeq)
+    val base = spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(lists: _*))
+    val filtered = excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
+    filtered.select(col("vec_id"),
+        Similarity.cosine(col("vec"), q).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+}

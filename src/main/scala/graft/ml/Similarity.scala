@@ -89,6 +89,30 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Multi-probe ANN: search the query's bucket AND every bucket one
+    * bit-flip away (planes+1 buckets). A near neighbor lands in a different
+    * bucket exactly when some hyperplane separates it from the query; the
+    * closer the neighbor, the likelier that is ONE plane — so probing the
+    * Hamming-1 shell recovers most of the recall lost to single-probe LSH
+    * at ~(planes+1)/2^planes of the corpus scanned, instead of doubling
+    * recall by halving `planes` (which would square bucket sizes). */
+  def annTopKMultiProbe(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    val withBuckets = lshBuckets(vecs, idCol, vecCol, dim, planes)
+    val q = typedLit(query.toSeq)
+    val probesDf = vecs.sparkSession.range(1)
+      .select(lshBucket(q, dim, planes).as("b0"))
+      .select(explode(array(
+        col("b0") +: (0 until planes).map(j => col("b0").bitwiseXOR(lit(1L << j))): _*
+      )).as("bucket"))
+    val cands = withBuckets.join(broadcast(probesDf), Seq("bucket"))
+      .join(vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+    cands.select(col("vec_id"), cosine(col("v"), q).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** BATCH ANN: top-k per query vector in ONE bucketed join — buckets are
     * computed once per side and candidates ranked with a window, so a
     * million queries cost one shuffle, not a million driver jobs (the

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.{AnnIndex, Similarity}
+
+/** IVF + multi-probe LSH behavior that the hash gates can't express:
+  * recall at nprobe < nlist, scan pruning, and the multi-probe recall
+  * ordering. Corpus: deterministic clustered vectors (cluster center +
+  * small offset) so near neighbors genuinely cluster. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private def vec(cluster: Int, i: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val center = math.sin(cluster * 7.3 + d * 1.7).toFloat * 5f
+      center + (math.sin(i * 13.1 + d * 3.9) * 0.3).toFloat
+    }
+  // 20 clusters x 100 members
+  private lazy val corpus = (0 until 2000).map(i => (i.toLong, vec(i % 20, i / 20)))
+  private lazy val df = corpus.toDF("vec_id", "embedding")
+
+  private def bruteTop(q: Array[Float], k: Int, exclude: Long): Seq[Long] =
+    Similarity.cosineTopK(df, "vec_id", "embedding", q, k, Some(exclude))
+      .select($"vec_id").as[Long].collect().toSeq
+
+  private lazy val idxPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 32)
+    p
+  }
+
+  test("nprobe = nlist reproduces exact brute-force top-k") {
+    val q = vec(3, 7)
+    val got = AnnIndex.search(spark, idxPath, q, k = 10, nprobe = 32,
+      excludeId = Some(3L * 1 + 60)).select($"vec_id").as[Long].collect().toSeq
+    assert(got == bruteTop(q, 10, 3L * 1 + 60))
+  }
+
+  test("small nprobe keeps high recall on clustered data") {
+    val ks = 10
+    val recalls = (0 until 10).map { c =>
+      val q = vec(c, 50)
+      val truth = bruteTop(q, ks, -1L).toSet
+      val got = AnnIndex.search(spark, idxPath, q, k = ks, nprobe = 4)
+        .select($"vec_id").as[Long].collect().toSet
+      (got & truth).size.toDouble / ks
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF nprobe=4/32 mean recall $mean < 0.9 ($recalls)")
+  }
+
+  test("probe filter is pushed into the lists scan") {
+    val q = vec(5, 5)
+    val plan = AnnIndex.search(spark, idxPath, q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("list_id"),
+      s"list_id probe filter must reach the parquet scan:\n$plan")
+  }
+
+  test("multi-probe recall >= single-probe recall, both subsets of exact") {
+    val trials = (0 until 12).map { c =>
+      val q = vec(c, 99)
+      val truth = bruteTop(q, 10, -1L).toSet
+      def recall(ids: Set[Long]) = (ids & truth).size.toDouble / truth.size
+      val single = Similarity.annTopK(df, "vec_id", "embedding", q, dim, 10)
+        .select($"vec_id").as[Long].collect().toSet
+      val multi = Similarity.annTopKMultiProbe(df, "vec_id", "embedding", q, dim, 10)
+        .select($"vec_id").as[Long].collect().toSet
+      (recall(single), recall(multi))
+    }
+    val (s, m) = (trials.map(_._1).sum / trials.size, trials.map(_._2).sum / trials.size)
+    assert(m >= s, s"multi-probe mean recall $m must be >= single-probe $s")
+    assert(m >= 0.8, s"multi-probe mean recall $m < 0.8")
+  }
+}
