@@ -379,8 +379,25 @@ object RelationalQueries {
       |  CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS bool_txt
       |FROM casted ORDER BY doc_id""".stripMargin
 
+  /** index-order sort fast path: ascending _id + limit served from the
+    * segment storage order (grn_table_sort_index) — only the covering
+    * segment prefix is scanned. dl comes from the index's doc stats, so
+    * the oracle recomputes it from a fresh tokenization. */
+  def sortIndexOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsIndex(spark, dir).idOrderScan(25)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"))
+
+  val sortIndexOrderSql: String =
+    """WITH tl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tl
+      |ORDER BY doc_id LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cast_rules" -> castRules,
+    "sort_index_order" -> sortIndexOrder,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
     "drilldown_nested" -> drilldownNested,
@@ -401,6 +418,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "cast_rules" -> castRulesSql,
+    "sort_index_order" -> sortIndexOrderSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
     "drilldown_nested" -> drilldownNestedSql,

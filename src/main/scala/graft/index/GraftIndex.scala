@@ -441,6 +441,30 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   /** Top-k with the deterministic reference tie order (-_score, _id). */
   def topK(result: DataFrame, k: Int): DataFrame =
     result.orderBy(desc("score"), asc("doc_id")).limit(k)
+
+  /** Index-order sort fast path (grn_table_sort_index, lib/sort.c:33,
+    * chosen at :1077-1096): ascending `_id` with a limit is served by the
+    * STORAGE ORDER instead of a sort of the whole table. Append-only ids
+    * keep segment doc ranges disjoint and ascending in manifest order, so
+    * the first `limit` ids live entirely in the shortest segment prefix
+    * whose cumulative doc count reaches `limit` — only those segments are
+    * scanned (at scale: one segment out of thousands; counts come from
+    * parquet footers, no data read). Upserts break the ascending-range
+    * invariant, but they always leave tombstones, which routes to the
+    * sorted fallback until compact restores the fast path. */
+  def idOrderScan(limit: Int): DataFrame = {
+    if (deletesDf.nonEmpty || limit <= 0)
+      return docs.select($"doc_id", $"dl").orderBy($"doc_id").limit(math.max(limit, 0))
+    val segs = tablePaths("docs")
+    var acc = 0L
+    val prefix = segs.takeWhile { p =>
+      val before = acc
+      acc += spark.read.parquet(p).count() // footer metadata only
+      before < limit
+    }
+    spark.read.parquet(prefix: _*)
+      .select($"doc_id", $"dl").orderBy($"doc_id").limit(limit)
+  }
 }
 
 object GraftIndex {

@@ -551,57 +551,66 @@ object MatchKernel {
     * per group, starts = union over fully-aligned alternatives. */
   private def productMatch(q: ResolvedQuery, cursors0: Array[TermCursor],
       maxInterval: Int, ordered: Boolean): Iterator[(Long, Double)] = {
-    val live = mutable.ArrayBuffer(cursors0.filterNot(_.exhausted).toSeq: _*)
-    if (live.isEmpty) return Iterator.empty
+    val live0 = mutable.ArrayBuffer(cursors0.filterNot(_.exhausted).toSeq: _*)
+    if (live0.isEmpty) return Iterator.empty
     // how many terms each (group, alternative) needs aligned
     val expected: Map[(Int, Int), Int] =
       q.terms.groupBy(t => (t.phraseId, t.altId)).map { case (k, v) => k -> v.length }
     val groupIds = q.terms.map(_.phraseId).distinct.sorted
-    val out = new mutable.ArrayBuffer[(Long, Double)]()
-    while (live.nonEmpty) {
-      var minDoc = Long.MaxValue
-      live.foreach(c => if (c.doc < minDoc) minDoc = c.doc)
-      val aligned = live.filter(_.doc == minDoc).toArray
-      // group -> sid -> union of alternative starts
-      val groupStarts: Array[Map[Int, Array[Int]]] = groupIds.map { g =>
-        val bySid = new mutable.HashMap[Int, mutable.ArrayBuffer[Int]]()
-        aligned.filter(_.rt.phraseId == g).groupBy(_.rt.altId).foreach { case (a, cs) =>
-          if (cs.length == expected((g, a)))
-            phraseStartsBySid(cs).foreach { case (sid, st) =>
-              bySid.getOrElseUpdate(sid, new mutable.ArrayBuffer[Int]()) ++= st
+    // streaming doc-at-a-time walk (no per-bucket result buffer)
+    new Iterator[(Long, Double)] {
+      private val live = live0
+      private var pending: (Long, Double) = _
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && live.nonEmpty) {
+          var minDoc = Long.MaxValue
+          live.foreach(c => if (c.doc < minDoc) minDoc = c.doc)
+          val aligned = live.filter(_.doc == minDoc).toArray
+          // group -> sid -> union of alternative starts
+          val groupStarts: Array[Map[Int, Array[Int]]] = groupIds.map { g =>
+            val bySid = new mutable.HashMap[Int, mutable.ArrayBuffer[Int]]()
+            aligned.filter(_.rt.phraseId == g).groupBy(_.rt.altId).foreach { case (a, cs) =>
+              if (cs.length == expected((g, a)))
+                phraseStartsBySid(cs).foreach { case (sid, st) =>
+                  bySid.getOrElseUpdate(sid, new mutable.ArrayBuffer[Int]()) ++= st
+                }
             }
-        }
-        bySid.map { case (sid, buf) => sid -> buf.distinct.sorted.toArray }.toMap
-      }
-      if (groupStarts.forall(_.nonEmpty)) {
-        val sharedSids = groupStarts.map(_.keySet).reduce(_ intersect _)
-        val okSid = sharedSids.exists { sid =>
-          val starts = groupStarts.map(_(sid))
-          if (ordered) orderedWindowExists(starts, maxInterval)
-          else minWindow(starts) <= maxInterval
-        }
-        if (okSid) {
-          var s = 0.0
-          groupStarts.foreach(_.foreach { case (sid, st) =>
-            s += st.length * q.sectionWeight(sid)
-          })
-          val score = q.score match {
-            case ScoreMode.Tf => s
-            case ScoreMode.Bm25(k1, b) =>
-              val idf = aligned.map(_.rt.idf).max
-              idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
-            case ScoreMode.TfAtMost(max) => math.min(s, max)
-            case ScoreMode.TfIdf =>
-              val idf = q.tfIdfLegIdf(aligned.map(_.rt).toSeq)
-              if (idf == 0.0) 1.0 else math.max(s * idf, 1.0)
+            bySid.map { case (sid, buf) => sid -> buf.distinct.sorted.toArray }.toMap
           }
-          out += ((minDoc, score))
+          if (groupStarts.forall(_.nonEmpty)) {
+            val sharedSids = groupStarts.map(_.keySet).reduce(_ intersect _)
+            val okSid = sharedSids.exists { sid =>
+              val starts = groupStarts.map(_(sid))
+              if (ordered) orderedWindowExists(starts, maxInterval)
+              else minWindow(starts) <= maxInterval
+            }
+            if (okSid) {
+              var s = 0.0
+              groupStarts.foreach(_.foreach { case (sid, st) =>
+                s += st.length * q.sectionWeight(sid)
+              })
+              val score = q.score match {
+                case ScoreMode.Tf => s
+                case ScoreMode.Bm25(k1, b) =>
+                  val idf = aligned.map(_.rt.idf).max
+                  idf * Bm25.weight(s, aligned(0).dl.toDouble, q.avgdl, k1, b)
+                case ScoreMode.TfAtMost(max) => math.min(s, max)
+                case ScoreMode.TfIdf =>
+                  val idf = q.tfIdfLegIdf(aligned.map(_.rt).toSeq)
+                  if (idf == 0.0) 1.0 else math.max(s * idf, 1.0)
+              }
+              pending = (minDoc, score)
+            }
+          }
+          aligned.foreach(_.next())
+          live.filterInPlace(!_.exhausted)
         }
       }
-      aligned.foreach(_.next())
-      live.filterInPlace(!_.exhausted)
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): (Long, Double) = { val r = pending; advance(); r }
     }
-    out.iterator
   }
 
   /** one phrase group's occurrence START positions per section: position p
@@ -692,29 +701,38 @@ object MatchKernel {
     val useWand = q.topK > 0 && minMatch == 1 &&
       q.score.isInstanceOf[ScoreMode.Bm25] && !q.sectioned
     if (useWand) return wand(q, cursors)
-    val out = new mutable.ArrayBuffer[(Long, Double)]()
-    val live = mutable.ArrayBuffer(cursors: _*)
-    while (live.nonEmpty) {
-      var minDoc = Long.MaxValue
-      var i = 0
-      while (i < live.length) {
-        if (live(i).doc < minDoc) minDoc = live(i).doc
-        i += 1
-      }
-      var s = 0.0
-      var nMatched = 0
-      i = 0
-      while (i < live.length) {
-        if (live(i).doc == minDoc) {
-          s += score1(q, live(i)); nMatched += 1
-          live(i).next()
+    // streaming k-way merge: one (doc, score) produced per pull, so a
+    // head-term OR over a wide bucket holds no per-bucket buffer
+    new Iterator[(Long, Double)] {
+      private val live = mutable.ArrayBuffer(cursors: _*)
+      private var pending: (Long, Double) = _
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && live.nonEmpty) {
+          var minDoc = Long.MaxValue
+          var i = 0
+          while (i < live.length) {
+            if (live(i).doc < minDoc) minDoc = live(i).doc
+            i += 1
+          }
+          var s = 0.0
+          var nMatched = 0
+          i = 0
+          while (i < live.length) {
+            if (live(i).doc == minDoc) {
+              s += score1(q, live(i)); nMatched += 1
+              live(i).next()
+            }
+            i += 1
+          }
+          live.filterInPlace(!_.exhausted)
+          if (nMatched >= minMatch) pending = (minDoc, s)
         }
-        i += 1
       }
-      if (nMatched >= minMatch) out += ((minDoc, s))
-      live.filterInPlace(!_.exhausted)
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): (Long, Double) = { val r = pending; advance(); r }
     }
-    out.iterator
   }
 
   /** PriorityQueue ordering whose max (= head, dequeued first) is the WORST

@@ -153,6 +153,27 @@ class RobustnessSpec extends AnyFunSuite {
     assert(cache.hits == h && cache.misses == m)
   }
 
+  test("index-order scan reads only the covering segment prefix") {
+    val want = (0L until nBase + nMore).map(i => i).take(10)
+    val q = idx.idOrderScan(10)
+    assert(q.select($"doc_id").as[Long].collect().toSeq == want)
+    // fast path: limit 10 < nBase docs in the base segment -> the appended
+    // segment's files must not be touched
+    assert(q.inputFiles.nonEmpty &&
+      !q.inputFiles.exists(_.contains("seg-more")),
+      s"appended segment scanned: ${q.inputFiles.mkString(", ")}")
+    // a limit spanning both segments still returns the right prefix
+    val wide = idx.idOrderScan(nBase + 5).select($"doc_id").as[Long].collect().toSeq
+    assert(wide == (0L until (nBase + 5)).map(i => i))
+    // mutations route to the sorted fallback and stay correct
+    val mutPath = s"$tmp/idx-order-mut"
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", mutPath, cfg)
+    val after = IncrementalIndex.delete(spark, mutPath, Seq(0L, 3L))
+    val got = after.idOrderScan(5).select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("tombstones ride a broadcast: deleted docs stay hidden") {
     val path = s"$tmp/idx2"
     IndexBuilder.build(spark,
