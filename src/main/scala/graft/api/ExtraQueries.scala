@@ -298,6 +298,28 @@ object ExtraQueries {
       |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-07-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** logical_range_filter (plugins/sharding/logical_range_filter.rb):
+    * time-shard range read in ts order with offset/limit. The range
+    * predicate prunes shards (partition/row-group pruning on a
+    * date-partitioned lake) and the ordered limit is a partial top-k
+    * (TakeOrderedAndProject), the analogue of the plugin's early shard
+    * termination once enough records are emitted. */
+  def logicalRangeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .where(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .select(col("event_id"), col("event_type"),
+        // ts is TIMESTAMP_NTZ; epoch seconds via session-UTC timestamp
+        col("ts").cast("timestamp").cast("long").as("ts_s"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .offset(5).limit(20)
+
+  val logicalRangeFilterSql: String =
+    """SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      |ORDER BY ts_s, event_id LIMIT 20 OFFSET 5""".stripMargin
+
   /** --drilldowns[label]: labeled drilldowns with per-label sort_keys and
     * limit (lib/proc/proc_select.cpp:483-505, default output
     * _key,_nsubrecs). */
@@ -563,6 +585,7 @@ object ExtraQueries {
     "snippet" -> snippetQ,
     "in_records" -> inRecords,
     "logical_count" -> logicalCount,
+    "logical_range_filter" -> logicalRangeFilter,
     "drilldown_labeled" -> drilldownLabeled,
     "term_df_ratio" -> termDfRatio,
     "geo_distance" -> geoDistance,
@@ -591,6 +614,7 @@ object ExtraQueries {
     "snippet" -> snippetSql,
     "in_records" -> inRecordsSql,
     "logical_count" -> logicalCountSql,
+    "logical_range_filter" -> logicalRangeFilterSql,
     "drilldown_labeled" -> drilldownLabeledSql,
     "term_df_ratio" -> termDfRatioSql,
     "geo_distance" -> geoDistanceSql,
