@@ -289,6 +289,37 @@ object DataOpsQueries {
 
   val annIvfTopKSql: String = annCosineTopKSql
 
+  /** BATCH IVF search over the persisted index: 5 query vectors probing
+    * ALL lists (exact path — plumbing verified hash-exact vs brute force;
+    * nprobe < nlist recall is AnnIndexSpec territory) in ONE join +
+    * window rank. */
+  def annIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    annIvfTopK(spark, dir) // ensure the index exists (cached build)
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val e = Tables.table(spark, dir, "embeddings")
+    graft.ml.AnnIndex.searchBatch(spark, s"/tmp/graft-cache/$key/ivf-idx",
+        e.where(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 16)
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfBatchSql: String =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |cand AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+      |     sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+      |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** batch ANN: top-3 per query for 5 query vectors in one bucketed join +
     * window rank (the multi-query scale path — no per-query jobs) */
   def annBatchTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -457,6 +488,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopK,
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_batch" -> annIvfBatch,
     "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
     "lang_id" -> langIdQ,
@@ -477,6 +509,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_ivf_batch" -> annIvfBatchSql,
     "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,
     "lang_id" -> langIdSql,

@@ -168,6 +168,33 @@ object ExtraQueries {
       |SELECT term, CAST(df AS BIGINT) AS df FROM df
       |WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 10""".stripMargin
 
+  /** suggest-completion with LEARNED query-log weighting: the reference
+    * suggest dataset's item table ranks completions by submit frequency,
+    * falling back to corpus df for unseen items. The learned table here is
+    * synthesized deterministically (first token of every 7th doc, freq
+    * from doc_id) so the oracle reproduces it exactly. */
+  def suggestLearned(spark: SparkSession, dir: String): DataFrame = {
+    val learned = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 7 === 0)
+      .select(split(col("text"), " ").getItem(0).as("term"),
+        (col("doc_id") % 5 + 1).cast("long").as("freq"))
+    graft.operators.Suggest.completeLearned(
+      Tables.documentsIndex(spark, dir), "s", learned, k = 10)
+  }
+
+  val suggestLearnedSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |learned AS (
+      |  SELECT string_split(text,' ')[1] AS term, sum(doc_id % 5 + 1) AS freq
+      |  FROM documents WHERE doc_id % 7 = 0 AND string_split(text,' ')[1] LIKE 's%'
+      |  GROUP BY 1)
+      |SELECT df.term, CAST(COALESCE(l.freq, 0) AS BIGINT) AS freq,
+      |  CAST(df.df AS BIGINT) AS df
+      |FROM df LEFT JOIN learned l ON df.term = l.term
+      |WHERE df.term LIKE 's%'
+      |ORDER BY freq DESC, df.df DESC, df.term LIMIT 10""".stripMargin
+
   /** suggest-cooccurrence: terms sharing docs with the query term, by
     * number of co-occurring docs (bucket-pruned postings decode) */
   def suggestCooccur(spark: SparkSession, dir: String): DataFrame =
@@ -597,6 +624,7 @@ object ExtraQueries {
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
     "suggest_complete" -> suggestComplete,
+    "suggest_learned" -> suggestLearned,
     "suggest_correct" -> suggestCorrect,
     "suggest_cooccur" -> suggestCooccur,
     "ft_query_expand" -> queryExpand)
@@ -626,6 +654,7 @@ object ExtraQueries {
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
     "suggest_complete" -> suggestCompleteSql,
+    "suggest_learned" -> suggestLearnedSql,
     "suggest_correct" -> suggestCorrectSql,
     "suggest_cooccur" -> suggestCooccurSql,
     "ft_query_expand" -> queryExpandSql)

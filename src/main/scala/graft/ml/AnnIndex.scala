@@ -47,6 +47,47 @@ object AnnIndex {
     best
   }
 
+  /** Lloyd refinement with deterministic SEEDS (the nlist lowest-id
+    * vectors — no RNG): `iters` alternating assign/mean steps, each one
+    * shuffle with centroids broadcast. Mean accumulation order follows
+    * task order, so centroids are reproducible only up to float rounding —
+    * which is fine: an IVF index persists its own centroids, and search
+    * correctness depends only on assign/probe using the SAME stored set
+    * (the hash gate proves that via the nprobe=nlist exact path). Empty
+    * clusters keep their previous centroid. Use the result as
+    * `build(..., centroids = Some(...))` for tighter lists (higher recall
+    * at the same nprobe) than raw seeds. */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): Seq[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents: Array[Centroid] = vecs.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).as[Array[Float]].collect()
+      .zipWithIndex.map { case (c, i) => Centroid(i, c) }
+    val data = vecs.select(col(vecCol)).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = data
+        .map { v =>
+          val lid = assign(v, bc.value)
+          (lid, (v.map(_.toDouble), 1L))
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups { (a, b) =>
+          val s = a._1.clone()
+          var i = 0
+          while (i < s.length) { s(i) += b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .map { case (lid, (s, n)) => (lid, s.map(x => (x / n).toFloat)) }
+        .collect().toMap
+      cents = cents.map(c => Centroid(c.list_id, sums.getOrElse(c.list_id, c.centroid)))
+      bc.destroy()
+    }
+    cents.sortBy(_.list_id).map(_.centroid).toSeq
+  }
+
   /** Build the index at `path`: `path/centroids` (tiny) + `path/lists`
     * (the corpus, partitioned+sorted by list_id). Default centroids are
     * the nlist lowest-id vectors; pass `centroids` to use a trained set. */
@@ -81,6 +122,40 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
     cents.map(c => (l2sq(query, c.centroid), c.list_id))
       .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** BATCH IVF search: top-k per query for a whole query TABLE in one
+    * join — each query is expanded to its nprobe nearest lists (driver
+    * holds only the tiny centroid set), joined against the lists table on
+    * list_id, scored, and window-ranked. A million queries cost one
+    * shuffle over (touched lists x queries), never a million driver jobs;
+    * the union of probed lists is pushed down as one IN filter so
+    * untouched lists are still never read. */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        bc.value.map(c => (l2sq(qv, c.centroid), c.list_id))
+          .sortBy(identity).take(nprobe)
+          .iterator.map { case (_, lid) => (qid, lid, qv) }
+      }.toDF("qid", "list_id", "qv")
+    val touched = probes.select($"list_id").distinct().as[Int].collect().toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(touched: _*))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    probes.join(lists, Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("vec"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** top-k by cosine among the probed lists only. The list_id IN filter is

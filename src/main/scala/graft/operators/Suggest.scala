@@ -24,6 +24,26 @@ object Suggest {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .orderBy(desc("df"), asc("term")).limit(k)
 
+  /** completion against a LEARNED frequency table — the reference suggest
+    * dataset's `item_<dataset>` table, which the query-log learner
+    * populates with submit counts (plugins/suggest/suggest.c; the
+    * suggest command ranks completions by that frequency). `learned`
+    * columns: (term, freq). Rank = (learned freq desc, dictionary df
+    * desc, term): items never seen in the logs fall back to corpus
+    * popularity — the cold-start behavior of a fresh dataset. The learned
+    * table is expected to be small relative to the dictionary (it is
+    * bounded by observed queries), so it rides a broadcast join. */
+  def completeLearned(idx: GraftIndex, prefix: String, learned: DataFrame,
+      k: Int = 10): DataFrame =
+    idx.terms.where(col("term").startsWith(prefix))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .join(broadcast(learned.where(col("term").startsWith(prefix))
+        .groupBy(col("term")).agg(sum(col("freq")).as("freq"))),
+        Seq("term"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
+      .orderBy(desc("freq"), desc("df"), asc("term")).limit(k)
+      .select(col("term"), col("freq"), col("df"))
+
   /** completion for a romaji prefix over a kana dictionary */
   def completeRk(idx: GraftIndex, romajiPrefix: String, k: Int = 10): DataFrame = {
     val cands = graft.analyzer.Romaji.candidates(romajiPrefix)

@@ -61,6 +61,34 @@ class AnnIndexSpec extends AnyFunSuite {
       s"list_id probe filter must reach the parquet scan:\n$plan")
   }
 
+  test("trained centroids keep recall high at small nprobe") {
+    val trained = AnnIndex.trainCentroids(df, "vec_id", "embedding", nlist = 32, iters = 3)
+    assert(trained.size == 32 && trained.forall(_.length == dim))
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 32, centroids = Some(trained))
+    val recalls = (0 until 10).map { c =>
+      val q = vec(c, 50)
+      val truth = bruteTop(q, 10, -1L).toSet
+      val got = AnnIndex.search(spark, p, q, k = 10, nprobe = 4)
+        .select($"vec_id").as[Long].collect().toSet
+      (got & truth).size.toDouble / 10
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"trained IVF nprobe=4/32 mean recall $mean < 0.9")
+  }
+
+  test("batch IVF search at full probe equals per-query exact top-k") {
+    val qs = df.where($"vec_id" < 4)
+    val got = AnnIndex.searchBatch(spark, idxPath, qs, "vec_id", "embedding",
+        k = 5, nprobe = 32)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSeq
+    val want = (0L until 4L).flatMap { qid =>
+      bruteTop(corpus(qid.toInt)._2, 5, qid).map(qid -> _)
+    }
+    assert(got == want)
+  }
+
   test("multi-probe recall >= single-probe recall, both subsets of exact") {
     val trials = (0 until 12).map { c =>
       val q = vec(c, 99)
