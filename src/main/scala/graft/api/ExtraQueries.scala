@@ -95,6 +95,24 @@ object ExtraQueries {
       |FROM documents WHERE regexp_matches(text, '\b(spark|join)\b')
       |ORDER BY doc_id""".stripMargin
 
+  /** highlight_html: same position-driven tagging with the reference's
+    * exact default tags (`<span class="keyword">`,
+    * lib/proc/proc_snippet.c:448) — byte-identical output a groonga
+    * client would receive. */
+  def highlightHtml(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Highlighter.highlightColumn(
+        Tables.table(spark, dir, "documents"), "doc_id", "text",
+        "TokenBigram", Set("window", "merge"),
+        open = "<span class=\"keyword\">", close = "</span>")
+      .orderBy("doc_id")
+
+  val highlightHtmlSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(window|merge)\b',
+      |    '<span class="keyword">\0</span>', 'g') AS highlighted
+      |FROM documents WHERE regexp_matches(text, '\b(window|merge)\b')
+      |ORDER BY doc_id""".stripMargin
+
   /** snippet: context window around the FIRST matched token of a multi-term
     * query, token-offset-driven (lib/proc/proc_snippet.c / lib/snip.c). */
   def snippetQ(spark: SparkSession, dir: String): DataFrame =
@@ -609,6 +627,7 @@ object ExtraQueries {
     "tokenize_filtered" -> tokenizeFiltered,
     "scorer_expr" -> scorerExpr,
     "highlight" -> highlightQ,
+    "highlight_html" -> highlightHtml,
     "snippet" -> snippetQ,
     "in_records" -> inRecords,
     "logical_count" -> logicalCount,
@@ -639,6 +658,7 @@ object ExtraQueries {
     "tokenize_filtered" -> tokenizeFilteredSql,
     "scorer_expr" -> scorerExprSql,
     "highlight" -> highlightSql,
+    "highlight_html" -> highlightHtmlSql,
     "snippet" -> snippetSql,
     "in_records" -> inRecordsSql,
     "logical_count" -> logicalCountSql,

@@ -395,8 +395,59 @@ object RelationalQueries {
       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tl
       |ORDER BY doc_id LIMIT 25""".stripMargin
 
+  /** remaining vector_* procs (plugins/functions/vector.c: vector_slice,
+    * vector_new, vector_find, vector_join; vector_size is in vector_fns) */
+  def vectorOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        array(col("lang"), col("source")).as("arr"))
+      .select(col("doc_id"),
+        slice(col("arr"), 1, 1).getItem(0).as("sliced"),
+        array(lit("a"), lit("b")).getItem(1).as("newed"),
+        when(array_contains(col("arr"), "en"), lit("en")).as("found"),
+        concat_ws("-", col("arr")).as("joined"))
+      .orderBy("doc_id")
+
+  val vectorOpsSql: String =
+    """SELECT doc_id,
+      |  [lang, source][1] AS sliced,
+      |  ['a', 'b'][2] AS newed,
+      |  CASE WHEN list_contains([lang, source], 'en') THEN 'en' END AS found,
+      |  array_to_string([lang, source], '-') AS joined
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
+  /** time_classify_* procs (plugins/functions/time.c): truncation to
+    * minute/hour/day/week/month/year + day_of_week (0 = Sunday, tm_wday
+    * numbering — Spark's dayofweek is 1 = Sunday, hence the -1) */
+  def timeClassify(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    t(spark, dir, "events").where(col("event_id") < 500)
+      .select(col("event_id"),
+        date_trunc("minute", ts).cast("long").as("c_minute"),
+        date_trunc("hour", ts).cast("long").as("c_hour"),
+        date_trunc("day", ts).cast("long").as("c_day"),
+        date_trunc("week", ts).cast("long").as("c_week"),
+        date_trunc("month", ts).cast("long").as("c_month"),
+        date_trunc("year", ts).cast("long").as("c_year"),
+        (dayofweek(ts) - 1).cast("long").as("c_dow"))
+      .orderBy("event_id")
+  }
+
+  val timeClassifySql: String =
+    """SELECT event_id,
+      |  CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS c_minute,
+      |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS c_hour,
+      |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS c_day,
+      |  CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS c_week,
+      |  CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT) AS c_month,
+      |  CAST(floor(epoch(date_trunc('year', ts))) AS BIGINT) AS c_year,
+      |  CAST(dayofweek(ts) AS BIGINT) AS c_dow
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cast_rules" -> castRules,
+    "vector_ops" -> vectorOps,
+    "time_classify" -> timeClassify,
     "sort_index_order" -> sortIndexOrder,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
@@ -418,6 +469,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "cast_rules" -> castRulesSql,
+    "vector_ops" -> vectorOpsSql,
+    "time_classify" -> timeClassifySql,
     "sort_index_order" -> sortIndexOrderSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
