@@ -174,6 +174,23 @@ object ExtraQueries {
       |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** QUERY_ALLOW_LEADING_NOT: `-spark` selects every record NOT matching
+    * spark (all-records AND-NOT), score 0 — off by default (syntax error),
+    * as in the reference. */
+  def leadingNot(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Select.select(Tables.documentsIndex(spark, dir),
+      graft.operators.Select.Request(query = "-spark", allowLeadingNot = true,
+        sortKeys = Seq(("doc_id", true)), limit = -1))
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+
+  val leadingNotSql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+      |              FROM documents),
+      |matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+      |SELECT d.doc_id, CAST(0 AS BIGINT) AS score FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** suggest-completion: df-ranked prefix candidates from the dictionary
     * (plugins/suggest/suggest.c completion over a reading table; df plays
     * the popularity column) */
@@ -642,6 +659,7 @@ object ExtraQueries {
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
+    "ft_leading_not" -> leadingNot,
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,
     "suggest_correct" -> suggestCorrect,
@@ -673,6 +691,7 @@ object ExtraQueries {
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
+    "ft_leading_not" -> leadingNotSql,
     "suggest_complete" -> suggestCompleteSql,
     "suggest_learned" -> suggestLearnedSql,
     "suggest_correct" -> suggestCorrectSql,

@@ -42,7 +42,10 @@ object Select {
         * AND-combined with the query result set. With an empty `query`,
         * the filter alone selects (score 1 per match, reference filter
         * scoring). Needs `source`. */
-      filterScript: Option[String] = None)
+      filterScript: Option[String] = None,
+      /** QUERY_ALLOW_LEADING_NOT: `-x` at a group head = all records
+        * AND-NOT x (reference default off → syntax error) */
+      allowLeadingNot: Boolean = false)
 
   private def flattenAnd(n: Node): List[Node] = n match {
     case AndQ(l, r) => flattenAnd(l) ++ flattenAnd(r)
@@ -159,6 +162,9 @@ object Select {
     case NotQ(l, r) =>
       eval(idx, l, score, source)
         .join(eval(idx, r, score, source).select("doc_id"), Seq("doc_id"), "left_anti")
+    case AllQ =>
+      // leading-NOT base: every live doc, score 0 (no match leg scored it)
+      idx.docs.select(col("doc_id"), lit(0.0).as("score"))
   }
 
   /** `query("cols", "q")` in predicate position (--filter): keep source
@@ -220,7 +226,7 @@ object Select {
       if (req.limit >= 0) out = out.limit(req.limit)
       return out
     }
-    val parsed = QueryParser.parse(req.query)
+    val parsed = QueryParser.parse(req.query, req.allowLeadingNot)
     val sequential: Option[DataFrame] =
       if (req.sequentialThreshold <= 0 || req.source.isEmpty ||
         req.score != ScoreMode.Tf) None // seq path reproduces TF scoring only

@@ -35,6 +35,10 @@ object QueryParser {
   final case class OrQ(l: Node, r: Node) extends Node
   /** l AND NOT r */
   final case class NotQ(l: Node, r: Node) extends Node
+  /** the whole record set (score 0) — only produced for a leading NOT
+    * under ALLOW_LEADING_NOT, where `-a` means "all records AND-NOT a"
+    * (grn_expr query flag QUERY_ALLOW_LEADING_NOT, lib/expr.c) */
+  case object AllQ extends Node
 
   private sealed trait Tok
   private case object LParen extends Tok
@@ -171,7 +175,12 @@ object QueryParser {
   }
 
   /** parse; throws IllegalArgumentException on malformed input */
-  def parse(q: String): Node = {
+  def parse(q: String): Node = parse(q, allowLeadingNot = false)
+
+  /** `allowLeadingNot` = the reference's QUERY_ALLOW_LEADING_NOT flag:
+    * a group may start with `-x`, meaning all records AND-NOT x; off (the
+    * reference default) a leading minus is a syntax error. */
+  def parse(q: String, allowLeadingNot: Boolean): Node = {
     var toks = lex(q)
     def peek: Option[Tok] = toks.headOption
     def advance(): Tok = { val t = toks.head; toks = toks.tail; t }
@@ -192,8 +201,12 @@ object QueryParser {
       while (unitAvailable) {
         val (node, minus) = parseUnit()
         if (n == null) {
-          if (minus) throw new IllegalArgumentException("query cannot start with -")
-          n = node
+          if (minus) {
+            if (!allowLeadingNot) throw new IllegalArgumentException(
+              "query cannot start with - (set allowLeadingNot / " +
+                "QUERY_ALLOW_LEADING_NOT to mean: all records AND-NOT this)")
+            n = NotQ(AllQ, node)
+          } else n = node
         } else if (minus) n = NotQ(n, node)
         else n = AndQ(n, node)
       }

@@ -70,4 +70,15 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse("col:"))
     intercept[IllegalArgumentException](QueryParser.parse(":foo"))
   }
+
+  test("leading NOT: error by default, all-AND-NOT under the flag") {
+    intercept[IllegalArgumentException](QueryParser.parse("-a b"))
+    assert(QueryParser.parse("-a", allowLeadingNot = true) ==
+      NotQ(AllQ, TermQ("a")))
+    assert(QueryParser.parse("-a b", allowLeadingNot = true) ==
+      AndQ(NotQ(AllQ, TermQ("a")), TermQ("b")))
+    // non-leading minus is plain AND-NOT, flag or not
+    assert(QueryParser.parse("a -b", allowLeadingNot = true) ==
+      NotQ(TermQ("a"), TermQ("b")))
+  }
 }
