@@ -174,6 +174,28 @@ object ExtraQueries {
       |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** snippet_html: centered tagged windows with the reference defaults'
+    * shape (width-clamped start = match_start - (width - len)/2, span
+    * keyword tags). The gate checks the FIRST window byte-identically;
+    * multi-window/non-overlap behavior is HighlightSpec territory. */
+  def snippetHtml(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Highlighter.snippetsHtmlColumn(
+        Tables.table(spark, dir, "documents"), "doc_id", "text",
+        "TokenBigram", Set("window"), width = 60, maxResults = 3)
+      .select(col("doc_id"), col("snippets").getItem(0).as("snip"))
+      .orderBy("doc_id")
+
+  val snippetHtmlSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    length(regexp_extract(text, '^(.*?)\bwindow\b', 1)) AS s
+      |  FROM documents WHERE regexp_matches(text, '\bwindow\b')),
+      |w AS (SELECT doc_id, text, greatest(0, s - (60 - 6) // 2) AS f FROM m)
+      |SELECT doc_id,
+      |  regexp_replace(substr(text, CAST(f + 1 AS INT), 60), '\bwindow\b',
+      |    '<span class="keyword">\0</span>', 'g') AS snip
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** QUERY_ALLOW_LEADING_NOT: `-spark` selects every record NOT matching
     * spark (all-records AND-NOT), score 0 — off by default (syntax error),
     * as in the reference. */
@@ -659,6 +681,7 @@ object ExtraQueries {
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
+    "snippet_html" -> snippetHtml,
     "ft_leading_not" -> leadingNot,
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,
@@ -691,6 +714,7 @@ object ExtraQueries {
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
+    "snippet_html" -> snippetHtmlSql,
     "ft_leading_not" -> leadingNotSql,
     "suggest_complete" -> suggestCompleteSql,
     "suggest_learned" -> suggestLearnedSql,

@@ -60,6 +60,63 @@ object Highlighter {
     Some(raw.substring(from, math.min(raw.length, from + width)))
   }
 
+  /** snippet_html: up to `maxResults` NON-OVERLAPPING windows of `width`
+    * chars, each centered on a matched region with every contained match
+    * tagged (reference defaults: width 200, max_n_results 3, span.keyword
+    * tags — lib/proc/proc_snippet.c:448, grn_snip window placement
+    * lib/snip.c: start = match_start - (width - match_len)/2, clamped).
+    * A match already covered by the previous window does not open a new
+    * one. Empty when nothing matches. */
+  def snippetsHtml(raw: String, tokenizer: Tokenizer, terms: Set[String],
+      width: Int = 200, maxResults: Int = 3,
+      open: String = "<span class=\"keyword\">",
+      close: String = "</span>"): Seq[String] = {
+    val rs = matchRanges(tokenizer.tokenizeWithOffsets(raw), terms)
+    if (rs.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var covered = -1
+    var i = 0
+    while (i < rs.length && out.length < maxResults) {
+      val (s, e) = rs(i)
+      if (s >= covered) {
+        val from = math.max(0, s - math.max(0, (width - (e - s)) / 2))
+        val to = math.min(raw.length, from + width)
+        val inside = rs.filter(r => r._1 >= from && r._2 <= to)
+        val sb = new java.lang.StringBuilder(width + inside.length * (open.length + close.length))
+        var prev = from
+        inside.foreach { case (ms, me) =>
+          sb.append(raw, prev, ms).append(open).append(raw, ms, me).append(close)
+          prev = me
+        }
+        sb.append(raw, prev, to)
+        out += sb.toString
+        covered = to
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** DataFrame op: (id, snippets array) — reference snippet_html shape */
+  def snippetsHtmlColumn(docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String, terms: Set[String],
+      width: Int = 200, maxResults: Int = 3,
+      open: String = "<span class=\"keyword\">",
+      close: String = "</span>"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(docs(idCol).cast("long"), docs(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = Analyzers.byName(tokenizerName)
+        it.flatMap { case (id, text) =>
+          val sn = snippetsHtml(text, tok, terms, width, maxResults, open, close)
+          if (sn.isEmpty) None else Some((id, sn))
+        }
+      }
+      .toDF(idCol, "snippets")
+  }
+
   /** DataFrame op: (id, highlighted) for docs containing any query term */
   def highlightColumn(docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String, terms: Set[String],

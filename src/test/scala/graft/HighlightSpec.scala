@@ -68,4 +68,29 @@ class HighlightSpec extends AnyFunSuite {
       before = 10, width = 8).get
     assert(s2 == "spark ta")
   }
+
+  test("snippetsHtml: centered tagged windows, non-overlapping, capped") {
+    val T = "<span class=\"keyword\">"; val C = "</span>"
+    // one match dead center: window centered on it
+    val raw = "aaaa bbbb kw cccc dddd"
+    val sn = Highlighter.snippetsHtml(raw, bigram, Set("kw"), width = 10, maxResults = 3)
+    //  start = 10 - (10-2)/2 = 6 -> raw(6,16) = "bbb kw ccc"
+    assert(sn == Seq(s"bbb ${T}kw$C ccc"))
+    // two far-apart matches -> two windows; both keywords tagged
+    val raw2 = "kw xxxx yyyy zzzz wwww kw tail"
+    val sn2 = Highlighter.snippetsHtml(raw2, bigram, Set("kw"), width = 8, maxResults = 3)
+    assert(sn2.length == 2)
+    assert(sn2.forall(_.contains(s"${T}kw$C")))
+    // second match inside the first window does NOT open a new window,
+    // but IS tagged inside the first
+    val raw3 = "kw kw far far far far far far"
+    val sn3 = Highlighter.snippetsHtml(raw3, bigram, Set("kw"), width = 12, maxResults = 3)
+    assert(sn3.length == 1)
+    assert(sn3.head == s"${T}kw$C ${T}kw$C far fa")
+    // maxResults caps
+    val raw4 = (0 until 10).map(i => s"kw p$i q$i r$i s$i t$i").mkString(" ")
+    assert(Highlighter.snippetsHtml(raw4, bigram, Set("kw"), width = 6, maxResults = 3).length == 3)
+    // no match -> empty
+    assert(Highlighter.snippetsHtml("nothing here", bigram, Set("kw")).isEmpty)
+  }
 }
