@@ -431,6 +431,27 @@ object ExtraQueries {
       |   FROM lineitem GROUP BY 2 ORDER BY nsubrecs DESC, key LIMIT 1))
       |ORDER BY label, key""".stripMargin
 
+  /** drilldowns[].max_n_target_records (lib/proc/proc_select.cpp sampling):
+    * the drilldown aggregates only the FIRST N records of the target
+    * result (id order) — an exact-over-a-sample plan that keeps facet
+    * latency bounded on huge results. Plus drilldown_filter: a predicate
+    * over the drilldown rows themselves (`_nsubrecs >= X`, HAVING). */
+  def drilldownSampled(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.table(spark, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
+    target.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("nsubrecs"))
+      .where(col("nsubrecs") >= 100)
+      .orderBy(desc("nsubrecs"), asc("key"))
+  }
+
+  val drilldownSampledSql: String =
+    """WITH sample AS (
+      |  SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+      |SELECT l_returnflag AS key, count(*) AS nsubrecs FROM sample
+      |GROUP BY 1 HAVING count(*) >= 100
+      |ORDER BY nsubrecs DESC, key""".stripMargin
+
   /** index_column_df_ratio-style meta query over the term dictionary
     * (plugins/functions/index_column.c) — exposes the terms segment. */
   def termDfRatio(spark: SparkSession, dir: String): DataFrame = {
@@ -672,6 +693,7 @@ object ExtraQueries {
     "logical_count" -> logicalCount,
     "logical_range_filter" -> logicalRangeFilter,
     "drilldown_labeled" -> drilldownLabeled,
+    "drilldown_sampled" -> drilldownSampled,
     "term_df_ratio" -> termDfRatio,
     "geo_distance" -> geoDistance,
     "geo_in" -> geoIn,
@@ -705,6 +727,7 @@ object ExtraQueries {
     "logical_count" -> logicalCountSql,
     "logical_range_filter" -> logicalRangeFilterSql,
     "drilldown_labeled" -> drilldownLabeledSql,
+    "drilldown_sampled" -> drilldownSampledSql,
     "term_df_ratio" -> termDfRatioSql,
     "geo_distance" -> geoDistanceSql,
     "geo_in" -> geoInSql,

@@ -43,6 +43,20 @@ final class BuildListener extends SparkListener {
     }
   }
 
+  /** machine-readable lineage: one object per Spark stage (persisted into
+    * the index dir as build_metrics.json so the per-task evidence travels
+    * with the artifact). Best-effort: the listener bus is async, so a
+    * stage completing in the final milliseconds may be absent. */
+  def reportJson(): String = synchronized {
+    stages.sortBy(_.stageId).map { s =>
+      s"""{"stage":${s.stageId},"name":"${s.name.replaceAll("[\"\\\\]", " ")}",""" +
+        s""""dur_ms":${s.durMs},"tasks":${s.tasks},"task_time_ms":${s.taskTimeMs},""" +
+        s""""max_task_ms":${s.maxTaskMs},"shuffle_read_mb":${s.shuffleReadMB},""" +
+        s""""shuffle_write_mb":${s.shuffleWriteMB},"spill_mb":${s.spillMB},""" +
+        s""""input_mb":${s.inputMB},"output_mb":${s.outputMB}}"""
+    }.mkString("[", ",", "]")
+  }
+
   def report(): String = synchronized {
     val sb = new StringBuilder("[graft-stages]\n")
     stages.sortBy(_.stageId).foreach { s =>

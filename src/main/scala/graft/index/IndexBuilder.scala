@@ -335,6 +335,11 @@ object IndexBuilder {
     val tokensAcc = spark.sparkContext.longAccumulator("graft.index.tokens")
     val runsAcc = spark.sparkContext.longAccumulator("graft.index.runs")
 
+    // per-stage lineage (task counts, skew, shuffle/spill volume) rides
+    // with the artifact: written as build_metrics.json before the commit
+    val lineage = new BuildListener
+    spark.sparkContext.addSparkListener(lineage)
+
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -435,6 +440,14 @@ object IndexBuilder {
       totalPayloadBytes = blockStats._3,
       segments = Seq("postings", "terms", "docs"),
       sections = if (sectioned) textCols else Nil)
+    spark.sparkContext.removeSparkListener(lineage)
+    try {
+      val os = fs.create(new org.apache.hadoop.fs.Path(outPath, "build_metrics.json"), true)
+      os.write(lineage.reportJson().getBytes("UTF-8"))
+      os.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[graft-build] build_metrics.json not written: ${e.getMessage}")
+    }
     SegmentCatalog.commit(fs, outPath, meta,
       Map(
         "docsRead" -> docsAcc.value.toString,
