@@ -204,13 +204,25 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   private var ubBlock: Array[Double] = _
   private var ubSuffix: Array[Double] = _
 
-  def initBounds(avgdl: Double, k1: Double, b: Double): Unit = {
+  /** per-block score upper bounds for the query's score mode — every mode
+    * is monotone in tf (and, for BM25, anti-monotone in dl), so max_tf /
+    * min_dl of the block give a sound bound. */
+  def initBounds(q: ResolvedQuery): Unit = {
     ubBlock = new Array[Double](blocks.length)
     ubSuffix = new Array[Double](blocks.length)
     var j = 0
     while (j < blocks.length) {
-      ubBlock(j) = rt.idf * rt.weight *
-        Bm25.weight(blocks(j).max_tf.toDouble, blocks(j).min_dl.toDouble, avgdl, k1, b)
+      val maxTf = blocks(j).max_tf.toDouble
+      ubBlock(j) = q.score match {
+        case ScoreMode.Bm25(k1, b) =>
+          rt.idf * rt.weight *
+            Bm25.weight(maxTf, blocks(j).min_dl.toDouble, q.avgdl, k1, b)
+        case ScoreMode.Tf => maxTf * rt.weight
+        case ScoreMode.TfAtMost(max) => math.min(maxTf, max) * rt.weight
+        case ScoreMode.TfIdf =>
+          val idf = q.tfIdfLegIdf(Seq(rt))
+          (if (idf == 0.0) 1.0 else math.max(maxTf * idf, 1.0)) * rt.weight
+      }
       j += 1
     }
     j = blocks.length - 1
@@ -698,8 +710,10 @@ object MatchKernel {
       q: ResolvedQuery, cursors0: Array[TermCursor], minMatch: Int): Iterator[(Long, Double)] = {
     val cursors = cursors0.filterNot(_.exhausted)
     if (cursors.isEmpty || cursors.length < minMatch) return Iterator.empty
-    val useWand = q.topK > 0 && minMatch == 1 &&
-      q.score.isInstanceOf[ScoreMode.Bm25] && !q.sectioned
+    // every ScoreMode has a sound per-block bound (initBounds), so WAND
+    // serves all of them; sectioned indexes stay excluded (block max_tf is
+    // per-(doc,sid), not per-doc)
+    val useWand = q.topK > 0 && minMatch == 1 && !q.sectioned
     if (useWand) return wand(q, cursors)
     // streaming k-way merge: one (doc, score) produced per pull, so a
     // head-term OR over a wide bucket holds no per-bucket buffer
@@ -759,9 +773,8 @@ object MatchKernel {
     * including the multi-block skewed-tf one).
     */
   private def wand(q: ResolvedQuery, cursors: Array[TermCursor]): Iterator[(Long, Double)] = {
-    val ScoreMode.Bm25(k1, b) = q.score: @unchecked
     val k = q.topK
-    cursors.foreach(_.initBounds(q.avgdl, k1, b))
+    cursors.foreach(_.initBounds(q))
     // min-heap of (score, docId): worst of the current top-k on top.
     val heap = mutable.PriorityQueue.empty[(Double, Long)](evictOrder)
     def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._1

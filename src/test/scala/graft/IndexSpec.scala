@@ -145,16 +145,17 @@ class IndexSpec extends AnyFunSuite {
     val idx = IndexBuilder.build(spark, df, "doc_id", "text", s"$tmp/idx-skew",
       IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
 
-    def rankIdentical(terms: Seq[String], assertTail: Boolean): Unit = {
-      // oracle: full disjunctive BM25 scoring, no pruning (topK=0 bypasses WAND)
-      val full = idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25())
+    def rankIdentical(terms: Seq[String], assertTail: Boolean,
+        mode: graft.query.ScoreMode = ScoreMode.Bm25()): Unit = {
+      // oracle: full disjunctive scoring, no pruning (topK=0 bypasses WAND)
+      val full = idx.searchTerms(terms, MatchMode.Any, mode)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       for (k <- Seq(5, 10, 25)) {
         val want = full.sortBy { case (d, s) => (-s, d) }.take(k).toSeq
         val got = idx.topK(
-          idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = k), k)
+          idx.searchTerms(terms, MatchMode.Any, mode, topK = k), k)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        assert(got.map(_._1) == want.map(_._1), s"top-$k docIds for $terms")
+        assert(got.map(_._1) == want.map(_._1), s"top-$k docIds for $terms ($mode)")
         got.zip(want).foreach { case ((_, s1), (_, s2)) =>
           assert(math.abs(s1 - s2) < 1e-9)
         }
@@ -166,6 +167,10 @@ class IndexSpec extends AnyFunSuite {
     }
     rankIdentical(Seq("skewterma"), assertTail = true)
     rankIdentical(Seq("skewterma", "skewtermb"), assertTail = false)
+    // WAND bounds generalize to every score mode: same adversarial layout
+    for (mode <- Seq[graft.query.ScoreMode](ScoreMode.Tf,
+        ScoreMode.TfAtMost(5.0), ScoreMode.TfIdf))
+      rankIdentical(Seq("skewterma", "skewtermb"), assertTail = false, mode)
   }
 
   test("phrase/near on a positions-less index fails fast") {
