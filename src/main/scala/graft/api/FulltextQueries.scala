@@ -137,6 +137,24 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM df WHERE levenshtein(term, 'hashh') <= 1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** FUZZY with WITH_TRANSPOSITION: 'psark' reaches 'spark' in ONE edit
+    * (adjacent swap) where plain levenshtein needs two. Gate pinned at
+    * maxDistance=1, where the reference's restricted (OSA) DP and the
+    * oracle's damerau_levenshtein provably agree; the >=2 divergence
+    * cases are FuzzySpec territory. */
+  def fuzzyTransposition(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    val expanded = idx.expandFuzzy("psark", maxDistance = 1, withTransposition = true)
+    if (expanded.isEmpty) idx.emptyResult
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+    else longScore(idx.searchTerms(expanded, MatchMode.Any, ScoreMode.Tf))
+  }
+
+  val fuzzyTranspositionSql: String = OracleProlog +
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |WHERE term IN (SELECT term FROM df WHERE damerau_levenshtein(term, 'psark') <= 1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def regexp(spark: SparkSession, dir: String): DataFrame =
     longScore(Tables.documentsIndex(spark, dir).searchRegexp("^qu.*y$"))
 
@@ -528,6 +546,7 @@ object FulltextQueries {
     "ft_near" -> near,
     "ft_prefix" -> prefix,
     "ft_fuzzy" -> fuzzy,
+    "ft_fuzzy_transposition" -> fuzzyTransposition,
     "ft_regexp" -> regexp,
     "ft_unsplit" -> unsplit,
     "ft_adjuster" -> adjuster,
@@ -557,6 +576,7 @@ object FulltextQueries {
     "ft_near" -> nearSql,
     "ft_prefix" -> prefixSql,
     "ft_fuzzy" -> fuzzySql,
+    "ft_fuzzy_transposition" -> fuzzyTranspositionSql,
     "ft_regexp" -> regexpSql,
     "ft_unsplit" -> unsplitSql,
     "ft_adjuster" -> adjusterSql,

@@ -391,14 +391,28 @@ final case class GraftIndex(spark: SparkSession, path: String) {
 
   /** Fuzzy expansion: terms within edit distance (GRN_OP_FUZZY,
     * /root/reference/lib/ii.cpp:11116-11208) — distributed levenshtein over
-    * the term dictionary with a cheap length prefilter. */
+    * the term dictionary with a cheap length prefilter.
+    * `withTransposition` = GRN_TABLE_FUZZY_SEARCH_WITH_TRANSPOSITION
+    * (include/groonga/table.h:1958): adjacent transposition counts as ONE
+    * edit, computed with the reference's restricted (OSA) DP
+    * (lib/pat.c:3395-3415) via a typed filter (still distributed over the
+    * dictionary; Spark has no built-in transposition distance). */
   def expandFuzzy(term: String, maxDistance: Int, prefixLength: Int = 0,
-      maxExpansions: Int = 64): Seq[String] = {
+      maxExpansions: Int = 64, withTransposition: Boolean = false): Seq[String] = {
     val base = terms
       .where(length($"term").between(term.length - maxDistance, term.length + maxDistance))
     val pref = if (prefixLength > 0)
       base.where($"term".startsWith(term.take(prefixLength))) else base
-    dedupTopByDf(pref.where(levenshtein(lit(term), $"term") <= maxDistance), maxExpansions)
+    val within =
+      if (!withTransposition) pref.where(levenshtein(lit(term), $"term") <= maxDistance)
+      else {
+        val q = term
+        val d = maxDistance
+        pref.select($"term", $"df").as[(String, Long)]
+          .filter(t => graft.query.Fuzzy.osaDistance(q, t._1, d) <= d)
+          .toDF("term", "df")
+      }
+    dedupTopByDf(within, maxExpansions)
   }
 
   /** Any+Tf match for an UNBOUNDED term set given as a DataFrame — the
