@@ -444,10 +444,43 @@ object RelationalQueries {
       |  CAST(dayofweek(ts) AS BIGINT) AS c_dow
       |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  /** columns[NAME] at stage=initial (proc_select.cpp:3448-3546 stage
+    * ordering): the dynamic column is computed BEFORE --filter runs, so
+    * the filter itself, a window over it, and the output all consume it —
+    * distinct from dynamic_column's stage=filtered + post_filter path. */
+  def dynamicColumnInitial(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withInitial = t(spark, dir, "orders")
+      .withColumn("bucketed", (col("o_totalprice") / 50000.0).cast("long"))
+    withInitial
+      .where(col("bucketed").between(2, 4)) // --filter consumes the initial column
+      .withColumn("rank_in_bucket", row_number().over(
+        Window.partitionBy(col("bucketed"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+      .where(col("rank_in_bucket") <= 3)
+      .select(col("o_orderkey"), col("bucketed"), col("rank_in_bucket"))
+      .orderBy("bucketed", "rank_in_bucket")
+  }
+
+  val dynamicColumnInitialSql: String =
+    """WITH init AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucketed
+      |  FROM orders),
+      |filtered AS (SELECT * FROM init WHERE bucketed BETWEEN 2 AND 4),
+      |ranked AS (
+      |  SELECT o_orderkey, bucketed,
+      |    row_number() OVER (PARTITION BY bucketed
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_bucket
+      |  FROM filtered)
+      |SELECT o_orderkey, bucketed, rank_in_bucket FROM ranked
+      |WHERE rank_in_bucket <= 3 ORDER BY bucketed, rank_in_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cast_rules" -> castRules,
     "vector_ops" -> vectorOps,
     "time_classify" -> timeClassify,
+    "dynamic_column_initial" -> dynamicColumnInitial,
     "sort_index_order" -> sortIndexOrder,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
@@ -471,6 +504,7 @@ object RelationalQueries {
     "cast_rules" -> castRulesSql,
     "vector_ops" -> vectorOpsSql,
     "time_classify" -> timeClassifySql,
+    "dynamic_column_initial" -> dynamicColumnInitialSql,
     "sort_index_order" -> sortIndexOrderSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
