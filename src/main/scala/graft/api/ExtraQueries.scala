@@ -174,6 +174,14 @@ object ExtraQueries {
       |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** table_list / column_list introspection (rows-only gate: the catalog
+    * describes OUR artifacts, so there is no cross-engine oracle) */
+  def tableListCmd(spark: SparkSession, dir: String): DataFrame =
+    Introspect.tableList(Tables.documentsIndex(spark, dir)).orderBy("id")
+
+  def columnListCmd(spark: SparkSession, dir: String): DataFrame =
+    Introspect.columnList(Tables.documentsIndex(spark, dir), "postings").orderBy("id")
+
   /** snippet_html: centered tagged windows with the reference defaults'
     * shape (width-clamped start = match_start - (width - len)/2, span
     * keyword tags). The gate checks the FIRST window byte-identically;
@@ -704,6 +712,8 @@ object ExtraQueries {
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
     "snippet_html" -> snippetHtml,
+    "table_list" -> tableListCmd,
+    "column_list" -> columnListCmd,
     "ft_leading_not" -> leadingNot,
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,
