@@ -111,13 +111,46 @@ class MutationFuzzSpec extends AnyFunSuite {
     }
     assert(gotP == wantP, s"$label phrase '$phrase' (picked from doc $pid)")
     assert(gotP.nonEmpty)
-    // top-k on the mutated index is internally rank-consistent with full scoring
-    val full = collectScores(idx.searchTerms(Seq(vocab(0), vocab(1)), MatchMode.Any, ScoreMode.Bm25()))
-    val want10 = full.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
-    val got10 = idx.topK(idx.searchTerms(Seq(vocab(0), vocab(1)),
-        MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(got10.map(_._1) == want10.map(_._1), s"$label top-k ranks")
+    // BM25 against a from-scratch naive over the effective corpus: proves
+    // per-term df/idf stay EXACT through delete/resurrect/upsert (the
+    // resolve-time recomputation under tombstones), not just internally
+    // consistent
+    val bmTerms = Seq(vocab(2), vocab(9))
+    val gotBm = collectScores(idx.searchTerms(bmTerms, MatchMode.Any, ScoreMode.Bm25()))
+    val wantBm = naiveBm25(bmTerms)
+    assert(gotBm.keySet == wantBm.keySet, s"$label bm25 doc sets")
+    gotBm.foreach { case (id, s) =>
+      assert(math.abs(s - wantBm(id)) < 1e-9, s"$label bm25 score doc $id")
+    }
+    // WAND top-k rank identity on the mutated index for EVERY score mode
+    for (m <- Seq[ScoreMode](ScoreMode.Tf, ScoreMode.TfAtMost(2.0),
+        ScoreMode.TfIdf, ScoreMode.Bm25())) {
+      val full = collectScores(idx.searchTerms(Seq(vocab(0), vocab(1)), MatchMode.Any, m))
+      val want10 = full.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+      val got10 = idx.topK(idx.searchTerms(Seq(vocab(0), vocab(1)),
+          MatchMode.Any, m, topK = 10), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got10.map(_._1) == want10.map(_._1), s"$label top-k ranks ($m)")
+    }
+  }
+
+  /** reference-constant BM25 over the post-mutation corpus */
+  private def naiveBm25(terms: Seq[String]): Map[Long, Double] = {
+    val n = effective.size
+    val avgdl = effective.values.map(_.split(" ").length).sum.toDouble / n
+    val dfs = terms.map(t => t -> effective.values.count(_.split(" ").contains(t))).toMap
+    effective.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0 || dfs(t) == 0) 0.0
+        else {
+          val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+          idf * tf * 3.0 / (tf + 2.0 * (1.0 - 0.75 + 0.75 * toks.length / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
   }
 
   test("all match modes agree with naive on the post-mutation corpus") {
