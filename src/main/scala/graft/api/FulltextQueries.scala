@@ -496,6 +496,17 @@ object FulltextQueries {
       |FROM ttf t FULL OUTER JOIN btf b ON t.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** same semantics through the STRING front: the weights come from
+    * parsing the reference's `--match_columns` syntax instead of a
+    * hand-built map — portability for existing groonga select requests. */
+  def matchColumnsStr(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsSectionedIndex(spark, dir)
+    longScore(idx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf,
+      sectionWeights = graft.query.MatchColumns.parse("title * 10 || text")))
+  }
+
+  val matchColumnsStrSql: String = matchColumnsSql
+
   /** conjunctive weighted match_columns: both terms required (in either
     * section), per-term score summed with section weights. */
   def matchColumnsAnd(spark: SparkSession, dir: String): DataFrame = {
@@ -557,6 +568,7 @@ object FulltextQueries {
     "ft_similar" -> similar,
     "ft_drilldown" -> drilldown,
     "ft_match_columns" -> matchColumns,
+    "ft_match_columns_str" -> matchColumnsStr,
     "ft_match_columns_and" -> matchColumnsAnd,
     "ft_near_phrase" -> nearPhrase,
     "ft_ordered_near_phrase" -> orderedNearPhrase,
@@ -587,6 +599,7 @@ object FulltextQueries {
     "ft_similar" -> similarSql,
     "ft_drilldown" -> drilldownSql,
     "ft_match_columns" -> matchColumnsSql,
+    "ft_match_columns_str" -> matchColumnsStrSql,
     "ft_match_columns_and" -> matchColumnsAndSql,
     "ft_near_phrase" -> nearPhraseSql,
     "ft_ordered_near_phrase" -> orderedNearPhraseSql,

@@ -71,6 +71,19 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse(":foo"))
   }
 
+  test("match_columns string parses to column weights") {
+    import graft.query.MatchColumns
+    assert(MatchColumns.parse("title * 10 || text") ==
+      Map("title" -> 10.0, "text" -> 1.0))
+    assert(MatchColumns.parse("body") == Map("body" -> 1.0))
+    assert(MatchColumns.parse("Idx.title*2.5||body") ==
+      Map("title" -> 2.5, "body" -> 1.0))
+    intercept[IllegalArgumentException](MatchColumns.parse(""))
+    intercept[IllegalArgumentException](MatchColumns.parse("a * x"))
+    intercept[IllegalArgumentException](MatchColumns.parse("a || "))
+    intercept[IllegalArgumentException](MatchColumns.parse("a * 2 * 3"))
+  }
+
   test("leading NOT: error by default, all-AND-NOT under the flag") {
     intercept[IllegalArgumentException](QueryParser.parse("-a b"))
     assert(QueryParser.parse("-a", allowLeadingNot = true) ==
