@@ -39,10 +39,17 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   // postings from its new ones.
   lazy val postings: DataFrame = {
     val cols = Seq("term", "bucket", "blk", "min_doc", "max_doc", "cnt",
-      "max_tf", "min_dl", "tf_sum", "payload_len", "payload")
+      "max_tf", "max_gtf", "min_dl", "tf_sum", "payload_len", "payload")
     tablePaths("postings").zipWithIndex.map { case (p, i) =>
-      spark.read.parquet(p).select(cols.map(col): _*)
-        .withColumn("seg_ord", lit(i))
+      val raw = spark.read.parquet(p)
+      // pre-v2 segments have no max_gtf column: for a sid-less layout every
+      // doc group is one posting so max_tf IS the group bound; a sectioned
+      // legacy segment gets the -1 sentinel (kernel skips WAND there)
+      val withGtf =
+        if (raw.columns.contains("max_gtf")) raw
+        else raw.withColumn("max_gtf",
+          if (meta.sections.isEmpty) col("max_tf") else lit(-1))
+      withGtf.select(cols.map(col): _*).withColumn("seg_ord", lit(i))
     }.reduce(_.unionByName(_))
   }
   lazy val terms: DataFrame = spark.read.parquet(tablePaths("terms"): _*)

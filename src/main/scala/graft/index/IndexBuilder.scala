@@ -44,6 +44,30 @@ import scala.collection.mutable
   */
 object IndexBuilder {
 
+  /** index artifact format: 2 adds per-block `max_gtf` (group-summed tf
+    * maximum), the bound input that lets Block-Max WAND prune SECTIONED
+    * indexes. Committed v1 artifacts are rebuilt on first open via
+    * buildSectioned's version check; v1 blocks read through
+    * GraftIndex.postings get max_gtf synthesized (= max_tf sid-less, -1 =
+    * "unknown, no pruning" sectioned). */
+  final val CurrentFormatVersion = 2
+
+  /** max over doc groups of the summed tf; a doc's (per-section) postings
+    * are consecutive, so one linear walk suffices. Sid-less input (every
+    * group a single posting) degenerates to max(tf). */
+  private def maxGroupTf(docs: graft.codec.LongVec, tfs: graft.codec.IntVec): Int = {
+    var best = 0
+    var cur = 0
+    var i = 0
+    while (i < docs.length) {
+      if (i > 0 && docs(i) != docs(i - 1)) { if (cur > best) best = cur; cur = 0 }
+      cur += tfs(i)
+      i += 1
+    }
+    if (cur > best) best = cur
+    best
+  }
+
   /** mutable per-term posting accumulator on the map side — primitive
     * buffers only (boxing on this path measured as ~2500 CPU-s per 1M docs),
     * positions pre-encoded into one varbyte stream per run */
@@ -95,7 +119,8 @@ object IndexBuilder {
               if (withPositions) b.posW.result() else null,
               if (sectioned) b.sids.toArray else null)
             out.enqueue(PostingRunRow(e.getKey, bucket, b.docs.head, b.docs.last,
-              b.docs.length, b.tfs.max, b.dls.min, b.tfs.sumLong, payload))
+              b.docs.length, b.tfs.max, maxGroupTf(b.docs, b.tfs),
+              b.dls.min, b.tfs.sumLong, payload))
           }
           runsAcc.foreach(_.add(bufs.size.toLong))
           bufs.clear()
@@ -253,16 +278,21 @@ object IndexBuilder {
           val bs = new Array[Int](len)
           val bp = new Array[Array[Int]](len)
           var j = 0
+          var maxGtf = 0
+          var curGtf = 0
           while (j < len) {
             bd(j) = at(docs, s + j); bt(j) = at(tfs, s + j)
             bl(j) = at(dls, s + j); bs(j) = at(sds, s + j); bp(j) = at(poss, s + j)
+            if (j > 0 && bd(j) != bd(j - 1)) { if (curGtf > maxGtf) maxGtf = curGtf; curGtf = 0 }
+            curGtf += bt(j)
             j += 1
           }
+          if (curGtf > maxGtf) maxGtf = curGtf
           val payload = PostingCodec.encode(bd, bt, bl,
             if (cfg.withPositions) bp else null,
             if (sectioned) bs else null)
           out.enqueue(PostingBlockRow(term, bucket, blk, bd(0), bd(len - 1), len,
-            bt.max, bl.min, bt.foldLeft(0L)(_ + _), payload.length, payload))
+            bt.max, maxGtf, bl.min, bt.foldLeft(0L)(_ + _), payload.length, payload))
           blk += 1
           s += len
         }
@@ -280,11 +310,13 @@ object IndexBuilder {
           // fast path: a lone small run IS a valid block (same payload
           // format) — the common case, since a bucket rarely spans map
           // tasks; head terms (cnt > blockSize) still get re-chunked for
-          // block-max granularity
-          if (rows.length == 1 && rows.head.cnt <= cfg.blockSize) {
+          // block-max granularity. A legacy run without a group bound
+          // (max_gtf < 0, only possible when compact feeds v1 blocks back
+          // through here) takes the decode path so the bound is recomputed.
+          if (rows.length == 1 && rows.head.cnt <= cfg.blockSize && rows.head.max_gtf >= 0) {
             val r = rows.head
             out.enqueue(PostingBlockRow(r.term, r.bucket, 0, r.min_doc, r.max_doc,
-              r.cnt, r.max_tf, r.min_dl, r.tf_sum, r.payload.length, r.payload))
+              r.cnt, r.max_tf, r.max_gtf, r.min_dl, r.tf_sum, r.payload.length, r.payload))
           } else {
             emitGroup(term, bucket, rows.map(r => PostingCodec.decode(r.payload)))
           }
@@ -325,7 +357,13 @@ object IndexBuilder {
     val sectioned = textCols.length > 1
 
     val fs = SegmentCatalog.fileSystem(spark, outPath)
-    if (SegmentCatalog.isCommitted(fs, outPath)) return GraftIndex(spark, outPath)
+    if (SegmentCatalog.isCommitted(fs, outPath)) {
+      // resume short-circuit — but a committed artifact from an older format
+      // (no per-block max_gtf) is rebuilt so sectioned WAND stays enabled
+      if (SegmentCatalog.readMeta(fs, outPath).formatVersion >= CurrentFormatVersion)
+        return GraftIndex(spark, outPath)
+      fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
+    }
 
     val shufflePartitions =
       if (cfg.numPartitions > 0) cfg.numPartitions
@@ -429,7 +467,7 @@ object IndexBuilder {
         coalesce(sum($"payload_len"), lit(0L)))
       .as[(Long, Long, Long)].head()
     val meta = IndexMeta(
-      formatVersion = 1,
+      formatVersion = CurrentFormatVersion,
       tokenizer = cfg.tokenizer,
       withPositions = cfg.withPositions,
       blockSize = cfg.blockSize,

@@ -32,6 +32,9 @@ final case class PostingRunRow(
     max_doc: Long,
     cnt: Int,
     max_tf: Int,
+    /** max over doc GROUPS of the section-summed tf (= max_tf when the run
+      * is sid-less — every group is one posting) */
+    max_gtf: Int,
     min_dl: Int,
     tf_sum: Long,
     payload: Array[Byte])
@@ -49,6 +52,13 @@ final case class PostingBlockRow(
     max_doc: Long,
     cnt: Int,
     max_tf: Int,
+    /** max over the block's doc GROUPS of the section-summed tf. For a
+      * sid-less block every group is one posting, so max_gtf == max_tf; for
+      * a sectioned block it is the input that makes Block-Max WAND sound
+      * (a doc's aggregated score uses the SUM of its per-section tfs, which
+      * can exceed the per-posting max_tf). -1 = unknown (block written by a
+      * pre-v2 build) — the kernel then skips WAND pruning for safety. */
+    max_gtf: Int,
     min_dl: Int,
     tf_sum: Long,
     payload_len: Int,

@@ -74,10 +74,9 @@ final case class ResolvedQuery(
     /** per-section weight, indexed by sid-1 (match_columns "a*10||b" →
       * [10, 1], lib/ii.cpp:13694-13696 column_weight). Empty = 1.0 each. */
     sectionWeights: Array[Double] = Array.emptyDoubleArray,
-    /** true when the index carries a sid stream — disables WAND pruning
-      * (block max_tf is per-(doc,sid) posting; a doc's aggregated tf can
-      * exceed it, so the block bound would be unsound). The heap top-k
-      * path stays exact. */
+    /** true when the index carries a sid stream (multi-column postings:
+      * consecutive entries may share a docId, one per section). WAND still
+      * prunes — v2 blocks carry max_gtf, the group-summed tf bound. */
     sectioned: Boolean = false,
     /** tombstones, sorted by doc id: tombDocs(i) is dead in data segments
       * with seg_ord < tombGens(i). Buckets touching a tombstone (or with
@@ -133,10 +132,23 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   if (!exhausted) loadBlock()
 
   private def loadBlock(): Unit = {
+    MatchKernel.statBlocksDecoded.add(1L)
     block = PostingCodec.decode(blocks(bi).payload)
     i = 0
     posBase = 0
     setGroup()
+  }
+  MatchKernel.statBlocksTotal.add(blocks.length.toLong)
+
+  /** every block carries a valid group-summed tf bound (max_gtf >= 0) —
+    * false only for blocks written by a pre-v2 build, which must not WAND */
+  def hasGroupBounds: Boolean = {
+    var j = 0
+    while (j < blocks.length) {
+      if (blocks(j).max_gtf < 0) return false
+      j += 1
+    }
+    true
   }
 
   private def setGroup(): Unit = {
@@ -205,15 +217,20 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
   private var ubSuffix: Array[Double] = _
 
   /** per-block score upper bounds for the query's score mode — every mode
-    * is monotone in tf (and, for BM25, anti-monotone in dl), so max_tf /
-    * min_dl of the block give a sound bound. */
+    * is monotone in tf (and, for BM25, anti-monotone in dl), so the block's
+    * tf bound / min_dl give a sound bound. The tf bound is
+    * maxSectionWeight x max_gtf: a doc group's weighted tf is
+    * Σ_s w_s·tf_s <= maxW·Σ_s tf_s <= maxW·max_gtf (sid-less blocks have
+    * max_gtf == max_tf and maxW == 1, reducing to the classic bound). */
   def initBounds(q: ResolvedQuery): Unit = {
     ubBlock = new Array[Double](blocks.length)
     ubSuffix = new Array[Double](blocks.length)
+    val maxW =
+      if (q.sectionWeights.isEmpty) 1.0 else q.sectionWeights.max
     var j = 0
     while (j < blocks.length) {
-      val maxTf = blocks(j).max_tf.toDouble
-      ubBlock(j) = q.score match {
+      val maxTf = math.max(blocks(j).max_gtf, blocks(j).max_tf).toDouble * maxW
+      val ub = q.score match {
         case ScoreMode.Bm25(k1, b) =>
           rt.idf * rt.weight *
             Bm25.weight(maxTf, blocks(j).min_dl.toDouble, q.avgdl, k1, b)
@@ -223,6 +240,13 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
           val idf = q.tfIdfLegIdf(Seq(rt))
           (if (idf == 0.0) 1.0 else math.max(maxTf * idf, 1.0)) * rt.weight
       }
+      // A NEGATIVE leg multiplier inverts the max-tf bound into a lower
+      // bound (reachable: sectioned df counts (doc,section) postings, so
+      // df > nDocs makes the reference BM25 idf ln((N-df+0.5)/(df+0.5)+1)
+      // negative; term weights can be negative too). Such a leg only ever
+      // contributes <= 0 to a score, so 0 is a sound — if loose — upper
+      // bound; clamping costs nothing on the normal positive path.
+      ubBlock(j) = math.max(0.0, ub)
       j += 1
     }
     j = blocks.length - 1
@@ -270,6 +294,17 @@ final class TermCursor(val rt: ResolvedTerm, blocks: Array[PostingBlockRow]) {
 }
 
 object MatchKernel {
+
+  /** Local-mode instrumentation: blocks seen by cursors vs blocks actually
+    * decoded — the difference is what block-max pruning (WAND skips + block
+    * skip pointers) saved. JVM-wide LongAdders, valid under local[*] where
+    * tasks share the driver JVM (tests + bench); on a real cluster these
+    * would be SparkMetrics/accumulators, but no correctness depends on them. */
+  val statBlocksTotal = new java.util.concurrent.atomic.LongAdder
+  val statBlocksDecoded = new java.util.concurrent.atomic.LongAdder
+  def resetStats(): Unit = { statBlocksTotal.reset(); statBlocksDecoded.reset() }
+  /** (blocksSeen, blocksDecoded) since the last resetStats() */
+  def readStats(): (Long, Long) = (statBlocksTotal.sum(), statBlocksDecoded.sum())
 
   /** true iff some tombstoned doc id falls in [lo, hi] */
   private def rangeHasTombstone(tombDocs: Array[Long], lo: Long, hi: Long): Boolean = {
@@ -330,21 +365,26 @@ object MatchKernel {
     val la = dls.toArray
     var k = 0
     var maxTf = 0
+    var maxGtf = 0
+    var curGtf = 0
     var minDl = Int.MaxValue
     var tfSum = 0L
     while (k < n) {
       val src = order(k)
       od(k) = da(src); ot(k) = ta(src); ol(k) = la(src); os(k) = sa(src); op(k) = poss(src)
       if (ot(k) > maxTf) maxTf = ot(k)
+      if (k > 0 && od(k) != od(k - 1)) { if (curGtf > maxGtf) maxGtf = curGtf; curGtf = 0 }
+      curGtf += ot(k)
       if (ol(k) < minDl) minDl = ol(k)
       tfSum += ot(k)
       k += 1
     }
+    if (curGtf > maxGtf) maxGtf = curGtf
     val payload = PostingCodec.encode(od, ot, ol,
       if (withPos) op else null, if (withSids) os else null)
     val h = blocks(0)
     Some(PostingBlockRow(h.term, h.bucket, 0, od(0), od(n - 1), n,
-      maxTf, minDl, tfSum, payload.length, payload, 0))
+      maxTf, maxGtf, minDl, tfSum, payload.length, payload, 0))
   }
 
   /** Run the match over one bucket's blocks for all query terms.
@@ -711,9 +751,12 @@ object MatchKernel {
     val cursors = cursors0.filterNot(_.exhausted)
     if (cursors.isEmpty || cursors.length < minMatch) return Iterator.empty
     // every ScoreMode has a sound per-block bound (initBounds), so WAND
-    // serves all of them; sectioned indexes stay excluded (block max_tf is
-    // per-(doc,sid), not per-doc)
-    val useWand = q.topK > 0 && minMatch == 1 && !q.sectioned
+    // serves all of them — sectioned indexes included since v2 blocks carry
+    // max_gtf (the group-summed tf bound). Excluded: legacy v1 blocks
+    // (max_gtf = -1 sentinel) and negative section weights (a negative
+    // weight breaks the maxW·max_gtf upper-bound argument).
+    val useWand = q.topK > 0 && minMatch == 1 &&
+      q.sectionWeights.forall(_ >= 0.0) && cursors.forall(_.hasGroupBounds)
     if (useWand) return wand(q, cursors)
     // streaming k-way merge: one (doc, score) produced per pull, so a
     // head-term OR over a wide bucket holds no per-bucket buffer

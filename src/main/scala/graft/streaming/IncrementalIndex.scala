@@ -191,7 +191,7 @@ object IncrementalIndex {
           if (td.isEmpty) Some(b)
           else MatchKernel.filterBlocks(Array(b), td, tg)
         filtered.map(f => PostingRunRow(f.term, f.bucket, f.min_doc, f.max_doc,
-          f.cnt, f.max_tf, f.min_dl, f.tf_sum, f.payload))
+          f.cnt, f.max_tf, f.max_gtf, f.min_dl, f.tf_sum, f.payload))
       }
       .repartition(shufflePartitions, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
@@ -226,6 +226,9 @@ object IncrementalIndex {
     // COMMIT: atomic manifest pointer flip to the new versioned base
     SegmentCatalog.commit(fs, indexPath,
       meta.copy(
+        // compact re-derives every block (incl. max_gtf), so the artifact
+        // is current-format even if the input base predated it
+        formatVersion = IndexBuilder.CurrentFormatVersion,
         nDocs = docStats._1,
         avgdl = docStats._2,
         totalPostings = blockStats._1,

@@ -136,7 +136,103 @@ class SectionSpec extends AnyFunSuite {
     got.foreach { case (i, s) => assert(math.abs(s - want(i)) < 1e-9, s"doc $i") }
   }
 
-  test("sectioned top-k (non-WAND path) is rank-identical to full scoring") {
+  test("sectioned WAND rank-identity under multi-block group-sum traps") {
+    // Adversarial corpus for the SECTIONED Block-Max WAND bound
+    // (maxSectionWeight x max_gtf): one bucket, skew term spanning ~6 blocks.
+    //  - early docs: tf concentrated in ONE section (per-posting max high)
+    //  - late docs (>= 560): tf SPLIT across title+body so the group SUM is
+    //    the corpus max while each per-(doc,sid) posting tf stays moderate.
+    // A WAND bounding blocks by per-posting max_tf underestimates the late
+    // blocks and prunes the true winners; the max_gtf bound must not.
+    import spark.implicits._
+    // df stays below nDocs (positive idf): most docs don't contain the term
+    val nn = 700
+    val docs = (0L until nn).map { i =>
+      val (tfTitle, tfBody) =
+        if (i >= 560) (20 + (i % 4).toInt, 21 + (i % 3).toInt) // sum 41..46
+        else if (i % 9 == 0) (30, 0)                           // single-section spike
+        else if (i % 5 == 0) (1, 1)                            // background match
+        else (0, 0)                                            // no match
+      def rep(t: String, k: Int) = Seq.fill(k)(t).mkString(" ")
+      val fillT = (0 until math.max(0, 26 - tfTitle)).map(j => s"t${i}x$j").mkString(" ")
+      val fillB = (0 until math.max(0, 26 - tfBody)).map(j => s"b${i}x$j").mkString(" ")
+      (i, rep("skewsect", tfTitle) + " " + fillT, rep("skewsect", tfBody) + " " + fillB)
+    }
+    val df = docs.toDF("doc_id", "title", "body")
+    val sIdx = IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"),
+      s"$tmp/idx-wand", IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+    for (w <- Seq(Map.empty[String, Double], Map("title" -> 10.0), Map("title" -> 0.5));
+         mode <- Seq[ScoreMode](ScoreMode.Bm25(), ScoreMode.Tf,
+           ScoreMode.TfAtMost(25.0), ScoreMode.TfIdf)) {
+      val full = sIdx.searchTerms(Seq("skewsect"), MatchMode.Any, mode, sectionWeights = w)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      for (k <- Seq(5, 10, 25)) {
+        val want = full.sortBy { case (d, s) => (-s, d) }.take(k).toSeq
+        val got = sIdx.topK(sIdx.searchTerms(Seq("skewsect"), MatchMode.Any, mode,
+            topK = k, sectionWeights = w), k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_._1) == want.map(_._1), s"top-$k ids ($mode, w=$w)")
+        got.zip(want).foreach { case ((_, s1), (_, s2)) =>
+          assert(math.abs(s1 - s2) < 1e-9) }
+        // the trap is live: winners are the split-tf tail docs (not under
+        // TfAtMost, whose cap ties the tail with the single-section spikes)
+        if (w.isEmpty && mode != ScoreMode.TfAtMost(25.0))
+          assert(want.take(3).forall(_._1 >= 560), s"want=$want ($mode)")
+      }
+    }
+    // and the pruning actually happens: descending-quality corpus (winners
+    // in the FIRST blocks, weak tail) — once the heap is full the remaining
+    // suffix bounds fall below the threshold and WAND exits without ever
+    // decoding the tail blocks of the sectioned index
+    val dq = (0L until nn).map { i =>
+      // df = 64·2 + 336 = 464 < nDocs keeps idf positive
+      val (tT, tB) =
+        if (i < 64) (12 + (i % 4).toInt, 13 + (i % 3).toInt)
+        else if (i < 400) (1, 0)
+        else (0, 0)
+      def rep(k: Int) = Seq.fill(k)("skewdesc").mkString(" ")
+      val fillT = (0 until math.max(0, 18 - tT)).map(j => s"u${i}x$j").mkString(" ")
+      val fillB = (0 until math.max(0, 18 - tB)).map(j => s"v${i}x$j").mkString(" ")
+      (i, rep(tT) + " " + fillT, rep(tB) + " " + fillB)
+    }.toDF("doc_id", "title", "body")
+    val dqIdx = IndexBuilder.buildSectioned(spark, dq, "doc_id", Seq("title", "body"),
+      s"$tmp/idx-wandskip", IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+    MatchKernel.resetStats()
+    val skipTop = dqIdx.topK(dqIdx.searchTerms(Seq("skewdesc"), MatchMode.Any,
+      ScoreMode.Bm25(), topK = 5, sectionWeights = Map("title" -> 2.0)), 5)
+      .collect().map(_.getLong(0)).toSeq
+    val (seen, decoded) = MatchKernel.readStats()
+    assert(skipTop.forall(_ < 64), s"winners should be head docs: $skipTop")
+    assert(seen >= 3, s"expected a multi-block cursor, saw $seen")
+    assert(decoded < seen, s"sectioned WAND should skip blocks: decoded $decoded of $seen")
+  }
+
+  test("WAND rank-identity with NEGATIVE idf (sectioned df > nDocs)") {
+    // every doc carries the term in BOTH sections → df = 2·nDocs > nDocs →
+    // reference BM25 idf goes negative → every block "upper bound" computed
+    // from max_tf is really a LOWER bound. The 0-clamp in initBounds keeps
+    // WAND sound here (winners are the LOWEST-tf docs).
+    import spark.implicits._
+    val m = 300
+    val df = (0L until m).map { i =>
+      val tf = 1 + (i % 7).toInt
+      val fill = (0 until 10).map(j => s"n${i}x$j").mkString(" ")
+      (i, Seq.fill(tf)("ubiq").mkString(" "), "ubiq " + fill)
+    }.toDF("doc_id", "title", "body")
+    val negIdx = IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"),
+      s"$tmp/idx-negidf", IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+    assert(Bm25.idf(negIdx.meta.nDocs,
+      negIdx.termStats(Seq("ubiq"))("ubiq").df) < 0, "trap requires negative idf")
+    val full = negIdx.searchTerms(Seq("ubiq"), MatchMode.Any, ScoreMode.Bm25())
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = full.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    val got = negIdx.topK(
+        negIdx.searchTerms(Seq("ubiq"), MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+  }
+
+  test("sectioned top-k (heap path) is rank-identical to full scoring") {
     val full = idx.searchTerms(Seq("spark", "join"), MatchMode.Any, ScoreMode.Bm25(),
         sectionWeights = Map("title" -> 3.0))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
