@@ -245,4 +245,165 @@ object IncrementalIndex {
     meta.deleteSegments.foreach(s => fs.delete(new Path(s"$indexPath/$s"), true))
     GraftIndex(spark, indexPath)
   }
+
+  private case class SegInfo(name: String, ord: Int, nPostings: Long,
+      payloadBytes: Long, minDoc: Long, maxDoc: Long, touched: Boolean)
+
+  /** LEVELED (partial) compaction — the scale path. `compact` rewrites the
+    * whole base; at 100 TB a compaction triggered by a 0.1% tombstone set
+    * must NOT re-shuffle 100 TB. This folds only segments that need it —
+    * tombstone-touched ones and those below `minKeepPostings` — merging
+    * each CONTIGUOUS run of foldable segments into one new segment, and
+    * leaves large clean segments byte-untouched (their blocks are already
+    * in final form — the builder's lone-run fast path writes the same
+    * layout). Contiguity preserves the ascending-disjoint segment doc-range
+    * invariant (manifest order == doc order), which the id-order scan fast
+    * path and the kernel's streaming cursors rely on.
+    *
+    * Reference analogue: grn_ii's buffer→chunk merges fold only dirty
+    * buffers into chunks, never the whole index
+    * (/root/reference/lib/ii.cpp:3300-7900).
+    *
+    * All tombstones are consumed (a tombstone's segment is by definition
+    * touched, hence folded), so the commit drops deleteSegments entirely.
+    * Crash-atomic like compact: folds land in fresh `fold-G-K` dirs, the
+    * manifest flip is one atomic rename, replaced dirs are deleted after. */
+  def compactPartial(
+      spark: SparkSession,
+      indexPath: String,
+      cfg: IndexConfig = IndexConfig(),
+      minKeepPostings: Long = 1L << 20): GraftIndex = {
+    import spark.implicits._
+    val fs = SegmentCatalog.fileSystem(spark, indexPath)
+    val idx = GraftIndex(spark, indexPath)
+    val meta = idx.meta
+    val sectioned = meta.sections.nonEmpty
+    val (td, tg) = idx.tombstones
+    val shufflePartitions = if (cfg.numPartitions > 0) cfg.numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val segs =
+      if (meta.segments.isEmpty ||
+        meta.segments.exists(s => s == "postings" || s == "terms" || s == "docs")) Seq(".")
+      else meta.segments
+    def tableP(s: String, t: String) =
+      if (s == ".") s"$indexPath/$t" else s"$indexPath/$s/$t"
+
+    // per-segment footprint + doc range (column-stat scans, no payload read)
+    val infos: Seq[SegInfo] = segs.zipWithIndex.map { case (s, i) =>
+      val (np, pb, lo, hi) = spark.read.parquet(tableP(s, "postings"))
+        .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)),
+          coalesce(min($"min_doc"), lit(Long.MaxValue)),
+          coalesce(max($"max_doc"), lit(Long.MinValue)))
+        .as[(Long, Long, Long, Long)].head()
+      // touched = some tombstone (doc, gen) has gen > ord and doc in range
+      var a = {
+        var x = 0; var y = td.length
+        while (x < y) { val m = (x + y) >>> 1; if (td(m) < lo) x = m + 1 else y = m }
+        x
+      }
+      var hit = false
+      while (!hit && a < td.length && td(a) <= hi) { hit = tg(a) > i; a += 1 }
+      SegInfo(s, i, np, pb, lo, hi, hit)
+    }
+
+    // contiguous runs of foldable segments; a run folds if it must (touched
+    // tombstones) or if it actually merges something (>= 2 segments)
+    def foldableSeg(si: SegInfo) = si.touched || si.nPostings < minKeepPostings
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[SegInfo]]
+    var cur = Vector.empty[SegInfo]
+    infos.foreach { si =>
+      if (foldableSeg(si)) cur :+= si
+      else { if (cur.nonEmpty) { runs += cur; cur = Vector.empty } }
+    }
+    if (cur.nonEmpty) runs += cur
+    val folds = runs.filter(r => r.exists(_.touched) || r.length >= 2).toSeq
+    if (folds.isEmpty && meta.deleteSegments.isEmpty) return idx // nothing to do
+
+    val FoldName = """fold-(\d+)-\d+""".r
+    val gen = 1 + segs.collect { case FoldName(g) => g.toInt }.foldLeft(0)(math.max)
+    val tombBc = spark.sparkContext.broadcast((td, tg))
+    val mergeCfg = cfg.copy(withPositions = meta.withPositions, blockSize = meta.blockSize)
+
+    val foldNames: Map[Int, String] = folds.zipWithIndex.map { case (run, k) =>
+      val dstName = s"fold-$gen-$k"
+      val dst = s"$indexPath/$dstName"
+      fs.delete(new Path(dst), true)
+      val ords = run.map(_.ord)
+      // postings of just this run, tombstone-filtered block-wise, re-merged
+      idx.postings.where($"seg_ord".isin(ords: _*)).as[PostingBlockRow]
+        .flatMap { b =>
+          val (d, g) = tombBc.value
+          val filtered = if (d.isEmpty) Some(b) else MatchKernel.filterBlocks(Array(b), d, g)
+          filtered.map(f => PostingRunRow(f.term, f.bucket, f.min_doc, f.max_doc,
+            f.cnt, f.max_tf, f.max_gtf, f.min_dl, f.tf_sum, f.payload))
+        }
+        .repartition(shufflePartitions, $"term", $"bucket")
+        .sortWithinPartitions($"term", $"bucket", $"min_doc")
+        .mapPartitions(IndexBuilder.mergeRuns(mergeCfg, sectioned))
+        .write.mode("overwrite").parquet(s"$dst/postings")
+      spark.read.parquet(s"$dst/postings")
+        .groupBy($"term")
+        .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
+          max($"max_tf").cast("int").as("max_tf"))
+        .repartition(math.max(1, shufflePartitions / 4))
+        .sortWithinPartitions($"term")
+        .write.mode("overwrite").parquet(s"$dst/terms")
+      spark.read.parquet(s"$dst/terms")
+        .select(reverse($"term").as("rterm"), $"term", $"df")
+        .repartition(math.max(1, shufflePartitions / 4))
+        .sortWithinPartitions($"rterm")
+        .write.mode("overwrite").parquet(s"$dst/terms_rev")
+      // docs of the run, tombstone-filtered with the run segments' ordinals
+      run.map { si =>
+        spark.read.parquet(tableP(si.name, "docs"))
+          .select($"doc_id", $"dl").withColumn("seg_ord", lit(si.ord))
+      }.reduce(_.unionByName(_))
+        .flatMap { r =>
+          val (d, g) = tombBc.value
+          val id = r.getLong(0)
+          val j = java.util.Arrays.binarySearch(d, id)
+          if (j >= 0 && r.getInt(2) < g(j)) None else Some((id, r.getInt(1)))
+        }.toDF("doc_id", "dl")
+        .write.mode("overwrite").parquet(s"$dst/docs")
+      run.head.ord -> dstName
+    }.toMap
+
+    val foldedOrds = folds.flatMap(_.map(_.ord)).toSet
+    val newSegments = infos.flatMap { si =>
+      if (!foldedOrds.contains(si.ord)) Some(si.name)
+      else foldNames.get(si.ord) // fold dir takes the run head's slot
+    }
+
+    // exact new totals: kept segments keep their measured footprint
+    val foldStats = foldNames.values.toSeq.map { n =>
+      spark.read.parquet(s"$indexPath/$n/postings")
+        .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
+        .as[(Long, Long)].head()
+    }
+    val kept = infos.filterNot(si => foldedOrds.contains(si.ord))
+    val totalPostings = kept.map(_.nPostings).sum + foldStats.map(_._1).sum
+    val totalPayload = kept.map(_.payloadBytes).sum + foldStats.map(_._2).sum
+
+    // COMMIT (atomic manifest flip); nDocs/avgdl are already exact through
+    // mutations, tombstones are now folded away physically
+    SegmentCatalog.commit(fs, indexPath,
+      meta.copy(
+        formatVersion = IndexBuilder.CurrentFormatVersion,
+        totalPostings = totalPostings,
+        totalPayloadBytes = totalPayload,
+        segments = newSegments,
+        deleteSegments = Nil),
+      Map("partialCompacted" -> foldNames.values.mkString(",")))
+
+    // cleanup after commit (crash here only leaves unreferenced garbage)
+    folds.flatten.foreach { si =>
+      if (si.name == ".")
+        Seq("postings", "terms", "terms_rev", "docs")
+          .foreach(t => fs.delete(new Path(s"$indexPath/$t"), true))
+      else fs.delete(new Path(s"$indexPath/${si.name}"), true)
+    }
+    meta.deleteSegments.foreach(s => fs.delete(new Path(s"$indexPath/$s"), true))
+    GraftIndex(spark, indexPath)
+  }
 }

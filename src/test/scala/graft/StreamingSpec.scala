@@ -116,6 +116,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("partial compaction folds small/touched segments, base stays byte-identical") {
+    val p = s"$tmp/idx-part"
+    val nExtra = 40
+    val all = WebCorpus.generate(spark, nBase + nExtra, 4)
+    IndexBuilder.build(spark, all.where(col("doc_id") < nBase), "doc_id", "text", p, cfg)
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id").between(nBase, nBase + 19)), "doc_id", "text", "seg-a", cfg)
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id").between(nBase + 20, nBase + 39)), "doc_id", "text", "seg-b", cfg)
+    val victims = Seq(nBase + 5L, nBase + 21L, nBase + 33L)
+    IncrementalIndex.delete(spark, p, victims)
+
+    def sha(dir: String): Map[String, String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.getName.startsWith("part-")).map { f =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val basePostingsBefore = sha(s"$p/postings")
+    val baseDocsBefore = sha(s"$p/docs")
+    assert(basePostingsBefore.nonEmpty)
+
+    // base (~30k postings) stays; the two small appends + tombstones fold
+    val pc = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
+    assert(pc.meta.segments == Seq(".", "fold-1-0"), s"got ${pc.meta.segments}")
+    assert(pc.meta.deleteSegments.isEmpty, "tombstones must be consumed")
+    assert(sha(s"$p/postings") == basePostingsBefore, "base postings rewritten!")
+    assert(sha(s"$p/docs") == baseDocsBefore, "base docs rewritten!")
+    assert(!new java.io.File(s"$p/seg-a").exists(), "folded segment dir must be gone")
+
+    // results equal a from-scratch rebuild over the post-mutation corpus
+    val rebuilt = IndexBuilder.build(spark,
+      all.where(!col("doc_id").isin(victims: _*)), "doc_id", "text",
+      s"$tmp/idx-part-rebuild", cfg)
+    assert(pc.meta.nDocs == rebuilt.meta.nDocs)
+    assert(math.abs(pc.meta.avgdl - rebuilt.meta.avgdl) < 1e-9)
+    val terms = topTerms
+    for ((mode, score) <- Seq((MatchMode.All, ScoreMode.Tf: ScoreMode),
+        (MatchMode.Any, ScoreMode.Bm25(): ScoreMode))) {
+      val a = collectScores(pc.searchTerms(terms, mode, score))
+      val b = collectScores(rebuilt.searchTerms(terms, mode, score))
+      assert(a.keySet == b.keySet, s"$mode/$score")
+      a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-9, s"doc $id $mode") }
+    }
+    val ph = collectScores(pc.searchPhrase("spark fulltext search engine"))
+    val phWant = collectScores(rebuilt.searchPhrase("spark fulltext search engine"))
+    assert(ph == phWant)
+    // id-order fast path still sees ascending disjoint segment ranges
+    val firstIds = pc.idOrderScan(10).collect().map(_.getLong(0)).toSeq
+    assert(firstIds == (0L until 10L).toSeq)
+
+    // second partial pass with nothing foldable is a no-op
+    val again = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
+    assert(again.meta.segments == pc.meta.segments)
+
+    // a tombstone landing in the BASE forces the base into the fold set
+    IncrementalIndex.delete(spark, p, Seq(7L))
+    val pc2 = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
+    assert(pc2.meta.deleteSegments.isEmpty)
+    assert(pc2.meta.segments == Seq("fold-2-0"), s"got ${pc2.meta.segments}")
+    val a2 = collectScores(pc2.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    val b2 = collectScores(IndexBuilder.build(spark,
+      all.where(!col("doc_id").isin((victims :+ 7L): _*)), "doc_id", "text",
+      s"$tmp/idx-part-rebuild2", cfg).searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(a2 == b2)
+  }
+
   test("upsert replaces a doc under the SAME id; state survives compact") {
     val idxPath = s"$tmp/idx"
     val term = topTerms.head
