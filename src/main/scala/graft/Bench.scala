@@ -95,11 +95,18 @@ object Bench {
       s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
       s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
       s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}"""
+    // headline summary FIRST: the driver artifact has tail-truncated the
+    // full JSON twice — lead with the numbers + the path of the full copy
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")
+    println(f"[bench-summary] total=$total%.1fs nq=${results.size} " +
+      f"errors=${errors.size} build=${docsPerSec.round} docs/s " +
+      f"p50=${pct(0.5) * 1000}%.0fms p95=${pct(0.95) * 1000}%.0fms " +
+      s"full_json=$outPath")
     println(json)
     // the full metric line also goes to its own file: stdout capture has
     // been observed tail-truncating the driver artifact (r2 lost 15/78
     // per-query timings), and the JSON is the round's primary evidence
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")
+    val outFile = outPath
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

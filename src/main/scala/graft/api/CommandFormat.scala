@@ -50,12 +50,24 @@ object CommandFormat {
     case null => "null"
     case s: String => "\"" + esc(s) + "\""
     case b: Boolean => if (b) "true" else "false"
-    case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
-      d.toLong.toString else d.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) "null" // JSON has no literals for these
+      else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     case f: Float => jsonValue(f.toDouble)
     case t: java.sql.Timestamp => (t.getTime / 1000.0).toString
     case t: java.time.LocalDateTime =>
       (t.toEpochSecond(java.time.ZoneOffset.UTC) + t.getNano / 1e9).toString
+    // nested values (vector columns, snippets arrays, struct rows) render
+    // as JSON arrays/objects, not Scala toString
+    case b: Array[Byte] =>
+      "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case a: Array[_] => a.map(jsonValue).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(jsonValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => "\"" + esc(String.valueOf(k)) + "\":" + jsonValue(x) }
+        .mkString("{", ",", "}")
+    case r: Row => (0 until r.length).map(i => jsonValue(r.get(i))).mkString("[", ",", "]")
     case other => other.toString
   }
 
@@ -87,5 +99,46 @@ object CommandFormat {
          .map { case (l, b) => "\"" + esc(l) + "\":" + b }
          .mkString("{", ",", "}")))
     s"[[$returnCode,$startSec,$elapsedSec],[${parts.mkString(",")}]]"
+  }
+
+  // ---- command version 3 (the {header, body} object envelope every modern
+  // groonga client speaks; reference rendering lib/output.c:3404-3465
+  // header, :2106-2113 n_hits, :2176-2193 column maps, golden shape
+  // test/command/suite/select/drilldown/plain/command_version/3) ----
+
+  /** v3 result body: {"n_hits":N,"columns":[{"name","type"}...],"records":[...]} */
+  def bodyV3(df: DataFrame, nHits: Long, maxRows: Int = 10000): String = {
+    val schema = df.schema
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"result exceeds maxRows=$maxRows — apply the command's limit before formatting")
+    val cols = schema.fields
+      .map(f => s"""{"name":"${esc(f.name)}","type":"${grnType(f.dataType)}"}""")
+      .mkString("[", ",", "]")
+    val recs = rows.map { (r: Row) =>
+      (0 until r.length).map(i => jsonValue(r.get(i))).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"n_hits":$nHits,"columns":$cols,"records":$recs}"""
+  }
+
+  /** v3 envelope. Drilldowns nest INSIDE the body as a labeled object —
+    * in v3 even plain (positional) drilldowns are keyed by their column
+    * name (the reference golden keys the `--drilldown tag` result as
+    * "tag"). `searchBody` must be a bodyV3 map; drilldown bodies are
+    * spliced in before its closing brace. */
+  def envelopeV3(searchBody: String, drilldowns: Map[String, String] = Map.empty,
+      returnCode: Int = 0, startSec: Double = 0.0, elapsedSec: Double = 0.0): String = {
+    val header =
+      s"""{"return_code":$returnCode,"start_time":$startSec,"elapsed_time":$elapsedSec}"""
+    val withDd =
+      if (drilldowns.isEmpty) searchBody
+      else {
+        require(searchBody.endsWith("}"), "searchBody must be a bodyV3 map")
+        val dd = drilldowns.toSeq.sortBy(_._1)
+          .map { case (l, b) => "\"" + esc(l) + "\":" + b }
+          .mkString("{", ",", "}")
+        searchBody.dropRight(1) + s""","drilldowns":$dd}"""
+      }
+    s"""{"header":$header,"body":$withDd}"""
   }
 }

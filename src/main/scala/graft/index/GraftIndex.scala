@@ -473,16 +473,38 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     * parquet footers, no data read). Upserts break the ascending-range
     * invariant, but they always leave tombstones, which routes to the
     * sorted fallback until compact restores the fast path. */
+  /** per-segment (minDoc, maxDoc, count) from column stats — computed once
+    * per index handle, used to validate the id-order fast path */
+  @transient private lazy val segDocRanges: Seq[(Long, Long, Long)] =
+    tablePaths("docs").map { p =>
+      spark.read.parquet(p)
+        .agg(coalesce(min($"doc_id"), lit(Long.MaxValue)),
+          coalesce(max($"doc_id"), lit(Long.MinValue)), count(lit(1)))
+        .as[(Long, Long, Long)].head()
+    }
+
   def idOrderScan(limit: Int): DataFrame = {
     if (deletesDf.nonEmpty || limit <= 0)
       return docs.select($"doc_id", $"dl").orderBy($"doc_id").limit(math.max(limit, 0))
+    // The prefix trick REQUIRES strictly ascending disjoint segment ranges.
+    // appendSegment documents append-only ids but cannot enforce them
+    // (doc_id is a user key) — an out-of-order append would silently return
+    // the wrong first-N, so validate from the measured ranges and fall back
+    // to the sorted scan when the invariant doesn't hold.
+    val ranges = segDocRanges
+    val ascending = ranges.filter(_._3 > 0).sliding(2).forall {
+      case Seq((_, hi, _), (lo2, _, _)) => hi < lo2
+      case _ => true
+    }
+    if (!ascending)
+      return docs.select($"doc_id", $"dl").orderBy($"doc_id").limit(limit)
     val segs = tablePaths("docs")
     var acc = 0L
-    val prefix = segs.takeWhile { p =>
+    val prefix = segs.zip(ranges).takeWhile { case (_, (_, _, cnt)) =>
       val before = acc
-      acc += spark.read.parquet(p).count() // footer metadata only
+      acc += cnt
       before < limit
-    }
+    }.map(_._1)
     spark.read.parquet(prefix: _*)
       .select($"doc_id", $"dl").orderBy($"doc_id").limit(limit)
   }

@@ -78,7 +78,10 @@ object Highlighter {
     var i = 0
     while (i < rs.length && out.length < maxResults) {
       val (s, e) = rs(i)
-      if (s >= covered) {
+      // a match opens a new window unless the PREVIOUS window fully covered
+      // it — a range straddling the boundary (s < covered < e) must still
+      // get a window, else that occurrence is never tagged anywhere
+      if (e > covered) {
         val from = math.max(0, s - math.max(0, (width - (e - s)) / 2))
         val to = math.min(raw.length, from + width)
         val inside = rs.filter(r => r._1 >= from && r._2 <= to)

@@ -35,14 +35,21 @@ final class SelectCache(capacity: Int = 100) {
   def hits: Long = hitCount
   def misses: Long = missCount
 
+  /** postFilter/scorer/source carry closure state (not stringly-keyable);
+    * limit < 0 means "all rows" — caching it would collect an unbounded
+    * result into the driver LRU, so it falls through too */
   private def cacheable(req: Select.Request): Boolean =
-    req.postFilter.isEmpty && req.scorer.isEmpty && req.source.isEmpty
+    req.postFilter.isEmpty && req.scorer.isEmpty && req.source.isEmpty &&
+      req.limit >= 0
 
   private def keyOf(idx: GraftIndex, req: Select.Request): Key = {
     val fs = SegmentCatalog.fileSystem(idx.spark, idx.path)
+    // length-prefix every field: unambiguous even when a field contains the
+    // join character (a bare concat would let "a"|1|23 collide with "a"|12|3)
     val norm = Seq(req.query, req.score.toString,
       req.sortKeys.mkString(","), req.offset.toString, req.limit.toString,
-      req.filterScript.getOrElse("")).mkString("")
+      req.filterScript.getOrElse(""), req.allowLeadingNot.toString)
+      .map(f => s"${f.length}:$f").mkString("|")
     Key(idx.path, SegmentCatalog.snapshotVersion(fs, idx.path), norm)
   }
 

@@ -82,19 +82,29 @@ object Suggest {
     if (ids.isEmpty)
       return idx.spark.emptyDataset[(String, Long)].toDF("co_term", "n_docs")
     val bits = idx.meta.bucketBits
-    // per-bucket [min,max] of the matched set: postings outside any matched
-    // bucket+range never decode
-    val prune = ids.groupBy(id => (id >> bits).toInt).map { case (b, ds) =>
-      col("bucket") === b && col("max_doc") >= ds.min && col("min_doc") <= ds.max
-    }.reduce(_ || _)
+    // pushdown stays DATA, not expression shape: one `bucket IN (...)` plus
+    // a global doc-range overlap (both parquet row-group prunable) — a
+    // per-bucket OR Column chain would be a 10k-node expression tree when
+    // 10k docs scatter over 10k buckets. The exact per-bucket [min,max]
+    // check rides a broadcast map and runs before any payload decode.
+    val byBucket: Map[Int, (Long, Long)] =
+      ids.groupBy(id => (id >> bits).toInt)
+        .map { case (b, ds) => b -> (ds.min, ds.max) }
+    val prune = col("bucket").isin(byBucket.keys.toSeq: _*) &&
+      col("max_doc") >= ids.head && col("min_doc") <= ids.last
     val idsBc = idx.spark.sparkContext.broadcast(ids)
+    val rangesBc = idx.spark.sparkContext.broadcast(byBucket)
     val co = idx.postings.where(prune).as[graft.index.PostingBlockRow]
       .flatMap { b =>
-        val set = idsBc.value
-        val d = graft.codec.PostingCodec.decode(b.payload)
-        (0 until d.count).iterator
-          .filter(i => java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0)
-          .map(i => (b.term, d.docIds(i)))
+        val (lo, hi) = rangesBc.value(b.bucket)
+        if (b.max_doc < lo || b.min_doc > hi) Iterator.empty
+        else {
+          val set = idsBc.value
+          val d = graft.codec.PostingCodec.decode(b.payload)
+          (0 until d.count).iterator
+            .filter(i => java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0)
+            .map(i => (b.term, d.docIds(i)))
+        }
       }.toDF("co_term", "doc_id")
     co.where(col("co_term") =!= term)
       .groupBy(col("co_term")).agg(countDistinct(col("doc_id")).as("n_docs"))

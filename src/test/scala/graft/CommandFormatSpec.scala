@@ -52,4 +52,45 @@ class CommandFormatSpec extends AnyFunSuite {
     val df = spark.range(100).toDF("i")
     intercept[IllegalArgumentException](CommandFormat.body(df, 100, maxRows = 10))
   }
+
+  test("v3 envelope matches the reference command_version 3 golden") {
+    // Transcribed from the reference's own expected output for
+    // `select Memos --drilldown tag --command_version 3`
+    // (test/command/suite/select/drilldown/plain/command_version/3/
+    //  no_conditions.expected), compacted: pretty-printing is the test
+    // harness's, the wire shape is {"header":{...},"body":{...}} with the
+    // plain drilldown keyed by its column name INSIDE the body. Reference
+    // types (UInt32/Tags) come from its schema — here _id is Int64.
+    val df = Seq(
+      (1L, "groonga is fast!", "groonga"),
+      (2L, "mroonga is fast!", "mroonga"),
+      (3L, "groonga sticker!", "groonga"),
+      (4L, "rroonga is fast!", "rroonga")).toDF("_id", "_key", "tag")
+    val dd = Seq(("groonga", 2), ("mroonga", 1), ("rroonga", 1))
+      .toDF("_key", "_nsubrecs")
+    val out = CommandFormat.envelopeV3(
+      CommandFormat.bodyV3(df, nHits = 4),
+      drilldowns = Map("tag" -> CommandFormat.bodyV3(dd, nHits = 3)))
+    assert(out ==
+      """{"header":{"return_code":0,"start_time":0.0,"elapsed_time":0.0},""" +
+      """"body":{"n_hits":4,"columns":[{"name":"_id","type":"Int64"},""" +
+      """{"name":"_key","type":"ShortText"},{"name":"tag","type":"ShortText"}],""" +
+      """"records":[[1,"groonga is fast!","groonga"],[2,"mroonga is fast!","mroonga"],""" +
+      """[3,"groonga sticker!","groonga"],[4,"rroonga is fast!","rroonga"]],""" +
+      """"drilldowns":{"tag":{"n_hits":3,"columns":[{"name":"_key","type":"ShortText"},""" +
+      """{"name":"_nsubrecs","type":"Int32"}],""" +
+      """"records":[["groonga",2],["mroonga",1],["rroonga",1]]}}}}""")
+    // v3 reports _score as Float (v1 casts it to Int32) — lib/output.c:2204
+    val scored = Seq(("a", 1.5)).toDF("_key", "_score")
+    assert(CommandFormat.bodyV3(scored, 1).contains("""{"name":"_score","type":"Float"}"""))
+  }
+
+  test("nested arrays/structs render as JSON, non-finite doubles as null") {
+    val df = Seq((Seq("s1", "s2"), Double.NaN, Double.PositiveInfinity))
+      .toDF("snippets", "nan", "inf")
+    val body = CommandFormat.body(df, 1)
+    assert(body.contains("""["s1","s2"]"""), body)
+    assert(body.contains("null,null"), body)
+    assert(!body.toLowerCase.contains("list") && !body.contains("NaN"))
+  }
 }

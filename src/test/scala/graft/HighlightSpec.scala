@@ -93,4 +93,16 @@ class HighlightSpec extends AnyFunSuite {
     // no match -> empty
     assert(Highlighter.snippetsHtml("nothing here", bigram, Set("kw")).isEmpty)
   }
+
+  test("snippetsHtml: boundary-straddling match still gets a window") {
+    val T = "<span class=\"keyword\">"; val C = "</span>"
+    // window 1 = [0,7) covers "kw aa k" — the second kw at [6,8) straddles
+    // the boundary: it is neither inside window 1 nor (formerly) allowed to
+    // open window 2, so the occurrence was never tagged anywhere
+    val raw = "kw aa kw bb"
+    val sn = Highlighter.snippetsHtml(raw, bigram, Set("kw"), width = 7, maxResults = 3)
+    assert(sn.length == 2, sn)
+    assert(sn(0) == s"${T}kw$C aa k")
+    assert(sn(1) == s"a ${T}kw$C bb")
+  }
 }

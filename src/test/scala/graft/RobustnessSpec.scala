@@ -115,6 +115,11 @@ class RobustnessSpec extends AnyFunSuite {
     assert(plan.contains("bucket"), s"postings scan must carry a bucket filter:\n$plan")
     assert(plan.contains("max_doc") && plan.contains("min_doc"),
       "postings scan must carry block doc-range overlap filters")
+    // the bucket prune is one IN over values (data), not a per-bucket OR
+    // expression chain — at 10k scattered buckets the latter is a 10k-node
+    // Column tree; a handful of mentions = single IN + pushed filter copy
+    assert(plan.split("bucket").length - 1 <= 6,
+      s"bucket filter must be a single IN, not an OR chain:\n$plan")
     // results match a naive co-occurrence count over the capped doc set
     val matched = corpus.collect { case (id, _) if naive.tf(id, term) > 0 => id }
       .sorted.take(50).toSet
@@ -151,6 +156,39 @@ class RobustnessSpec extends AnyFunSuite {
     cache.select(GraftIndex(spark, path),
       req.copy(postFilter = Some(org.apache.spark.sql.functions.col("score") > 0)))
     assert(cache.hits == h && cache.misses == m)
+  }
+
+  test("select cache: unbounded bypass, no field collisions, leadingNot keyed") {
+    val path = s"$tmp/idx3" // committed by the LRU test above (build resumes)
+    IndexBuilder.build(spark,
+      WebCorpus.generate(spark, nBase, 4), "doc_id", "text", path, cfg)
+    val idx3 = GraftIndex(spark, path)
+    val cache = new graft.operators.SelectCache(capacity = 8)
+    val term = naive.df.toSeq.sortBy { case (t, d) => (-d, t) }.head._1
+    // limit = -1 ("all rows") must NOT enter the LRU — it would collect an
+    // unbounded result into the driver
+    cache.select(idx3, graft.operators.Select.Request(query = term, limit = -1))
+    assert(cache.hits == 0 && cache.misses == 0, "unbounded request must bypass")
+    // adjacent numeric fields must not collide: (offset=1, limit=23) vs
+    // (offset=12, limit=3) are distinct keys with distinct results
+    val r1 = graft.operators.Select.Request(query = term, offset = 1, limit = 23)
+    val r2 = graft.operators.Select.Request(query = term, offset = 12, limit = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = rows(cache.select(idx3, r1))
+    val b = rows(cache.select(idx3, r2))
+    assert(cache.misses == 2, "distinct requests must occupy distinct entries")
+    assert(a != b)
+    assert(b == rows(graft.operators.Select.select(idx3, r2)))
+    // allowLeadingNot participates in the key: the permissive variant being
+    // cached must not satisfy the strict one (which errors on leading NOT)
+    val neg = s"-$term dummy"
+    cache.select(idx3, graft.operators.Select.Request(query = neg,
+      limit = 5, allowLeadingNot = true))
+    intercept[Exception] {
+      cache.select(idx3, graft.operators.Select.Request(query = neg,
+        limit = 5, allowLeadingNot = false))
+    }
   }
 
   test("index-order scan reads only the covering segment prefix") {
