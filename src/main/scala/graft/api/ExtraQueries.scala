@@ -666,6 +666,60 @@ object ExtraQueries {
       |  ELSE ' abc がぎゆう' END AS normalized
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
 
+  /** highlight_full (reference proc_highlight.c:271-411): per-keyword tag
+    * sets, normalized-space substring matching (full-width ＭｙＳＱＬ tags
+    * via keyword "MySQL"), html escaping of untagged text. The suffix
+    * exercises width/case unification + escaping; the body exercises
+    * substring tagging of a corpus term. */
+  def highlightFullQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kws = Seq(
+      ("window", "<span class=\"k1\">", "</span>"),
+      ("MySQL", "<span class=\"k2\">", "</span>"))
+    val docs = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 400)
+      .withColumn("text2",
+        concat(col("text"), lit(" ＭｙＳＱＬ <raw> Window")))
+    graft.operators.Highlighter.highlightFullColumn(
+        docs, "doc_id", "text2", kws, htmlEscape = true)
+      .orderBy("doc_id")
+  }
+
+  val highlightFullSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, 'window', '<span class="k1">\0</span>', 'g') ||
+      |  ' <span class="k2">ＭｙＳＱＬ</span> &lt;raw&gt; ' ||
+      |  '<span class="k1">Window</span>' AS highlighted
+      |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+
+  /** NormalizerHTML (reference lib/normalizer.c:6181+): tags stripped +
+    * character references expanded (named WHATWG table, numeric with the
+    * windows-1252 remap). Each doc's text is wrapped in a deterministic
+    * HTML shell exercising tags, named/hex/decimal refs, an invalid ref
+    * (kept literal) and an unterminated ref at EOF (dropped); entity
+    * expectations are anchored by the reference-suite goldens in
+    * HtmlNormalizerSpec. */
+  def normalizeHtml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val in = "<p class=\"x\">" + text + "</p> &amp; &lt;tag&gt; " +
+            "&#x3042;&#65; &nbsp;&euro; &bogus; x &untermin"
+          (id, graft.analyzer.HtmlNormalizer.normalize(in))
+        }
+      }
+      .toDF("doc_id", "normalized")
+      .orderBy("doc_id")
+  }
+
+  val normalizeHtmlSql: String =
+    """SELECT doc_id,
+      |  text || ' & <tag> あA ' || chr(160) || '€ &bogus; x ' AS normalized
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+
   /** `--filter` script string (grn_ecmascript.lemon subset) compiled to a
     * Catalyst Column: between(), regexp/prefix match ops, &&/||/&!,
     * arithmetic — evaluated standalone over the source table. */
@@ -708,6 +762,8 @@ object ExtraQueries {
     "geo_in_indexed" -> geoInIndexed,
     "term_extract" -> termExtract,
     "html_untag" -> htmlUntag,
+    "highlight_full" -> highlightFullQ,
+    "normalize_html" -> normalizeHtml,
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
@@ -744,6 +800,8 @@ object ExtraQueries {
     "geo_in_indexed" -> geoInIndexedSql,
     "term_extract" -> termExtractSql,
     "html_untag" -> htmlUntagSql,
+    "highlight_full" -> highlightFullSql,
+    "normalize_html" -> normalizeHtmlSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,

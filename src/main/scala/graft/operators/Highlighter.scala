@@ -100,6 +100,81 @@ object Highlighter {
     out.toSeq
   }
 
+  /** highlight_full (reference proc at lib/proc/proc_highlight.c:271-411,
+    * engine lib/highlighter.c): each keyword carries its OWN open/close tag
+    * pair, matching runs in NORMALIZED space (NFKC + case fold, so "mysql"
+    * tags "ＭｙＳＱＬ"), matched spans are emitted as the RAW slice inside
+    * the keyword's tags, and — when `htmlEscape` — all text is escaped
+    * with the reference's XML set (" < > &, lib/str.c grn_text_escape_xml).
+    * Scanning is leftmost-longest over keyword occurrences (the role of
+    * grn_pat_tag_keys' longest-prefix lookup), substring-level — no word
+    * boundaries, unlike the token-space highlight(). */
+  def highlightFull(raw: String, keywords: Seq[(String, String, String)],
+      htmlEscape: Boolean): String = {
+    val norm = graft.analyzer.Normalizer.normalizeWithOffsets(raw)
+    val text = norm.text
+    // normalize keywords identically; longest-first for the tie at one start
+    val kws = keywords.map { case (kw, open, close) =>
+      (graft.analyzer.Normalizer.normalize(kw).text, open, close)
+    }.filter(_._1.nonEmpty).sortBy(-_._1.length)
+    val sb = new java.lang.StringBuilder(raw.length + 32)
+    def emit(from: Int, to: Int): Unit = {
+      if (!htmlEscape) sb.append(raw, from, to)
+      else {
+        var i = from
+        while (i < to) {
+          raw.charAt(i) match {
+            case '"' => sb.append("&quot;")
+            case '<' => sb.append("&lt;")
+            case '>' => sb.append("&gt;")
+            case '&' => sb.append("&amp;")
+            case c => sb.append(c)
+          }
+          i += 1
+        }
+      }
+    }
+    var j = 0 // position in normalized text
+    var rawPrev = 0
+    while (j < text.length) {
+      var matched = false
+      var k = 0
+      while (!matched && k < kws.length) {
+        val (kw, open, close) = kws(k)
+        if (text.startsWith(kw, j)) {
+          val rs = norm.srcStart(j)
+          val re = norm.srcEnd(j + kw.length - 1)
+          // a keyword fully inside one raw char's expansion can't be tagged
+          // separately; require the span to advance
+          if (re > rs && rs >= rawPrev) {
+            emit(rawPrev, rs)
+            sb.append(open)
+            emit(rs, re)
+            sb.append(close)
+            rawPrev = re
+            j += kw.length
+            matched = true
+          }
+        }
+        k += 1
+      }
+      if (!matched) j += 1
+    }
+    emit(rawPrev, raw.length)
+    sb.toString
+  }
+
+  /** DataFrame op: (id, highlighted) with per-keyword tag sets */
+  def highlightFullColumn(docs: DataFrame, idCol: String, textCol: String,
+      keywords: Seq[(String, String, String)], htmlEscape: Boolean): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.select(docs(idCol).cast("long"), docs(textCol).cast("string"))
+      .mapPartitions { it =>
+        it.map(r => (r.getLong(0), highlightFull(r.getString(1), keywords, htmlEscape)))
+      }(enc)
+      .toDF(idCol, "highlighted")
+  }
+
   /** DataFrame op: (id, snippets array) — reference snippet_html shape */
   def snippetsHtmlColumn(docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String, terms: Set[String],

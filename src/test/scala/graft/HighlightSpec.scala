@@ -94,6 +94,28 @@ class HighlightSpec extends AnyFunSuite {
     assert(Highlighter.snippetsHtml("nothing here", bigram, Set("kw")).isEmpty)
   }
 
+  test("highlight_full matches the reference two_keywords goldens") {
+    // transcribed from test/command/suite/select/function/highlight_full/
+    // two_keywords.expected and not_use_html_escape.expected
+    val raw = "Mroonga is a ＭｙＳＱＬ storage engine based on Groonga. " +
+      "<b>Rroonga</b> is a Ruby binding of Groonga."
+    val kws = Seq(
+      ("Groonga", "<span class=\"keyword1\">", "</span>"),
+      ("mysql", "<span class=\"keyword2\">", "</span>"))
+    assert(Highlighter.highlightFull(raw, kws, htmlEscape = true) ==
+      "Mroonga is a <span class=\"keyword2\">ＭｙＳＱＬ</span> storage engine " +
+      "based on <span class=\"keyword1\">Groonga</span>. &lt;b&gt;Rroonga&lt;/b&gt; " +
+      "is a Ruby binding of <span class=\"keyword1\">Groonga</span>.")
+    assert(Highlighter.highlightFull(raw, kws, htmlEscape = false) ==
+      "Mroonga is a <span class=\"keyword2\">ＭｙＳＱＬ</span> storage engine " +
+      "based on <span class=\"keyword1\">Groonga</span>. <b>Rroonga</b> " +
+      "is a Ruby binding of <span class=\"keyword1\">Groonga</span>.")
+    // leftmost-longest: overlapping keywords pick the longer at each start
+    val lw = Highlighter.highlightFull("abcd",
+      Seq(("ab", "[", "]"), ("abc", "(", ")")), htmlEscape = false)
+    assert(lw == "(abc)d")
+  }
+
   test("snippetsHtml: boundary-straddling match still gets a window") {
     val T = "<span class=\"keyword\">"; val C = "</span>"
     // window 1 = [0,7) covers "kw aa k" — the second kw at [6,8) straddles

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyzer.HtmlNormalizer
+import graft.analyzer.HtmlNormalizer.Options
+
+/** NormalizerHTML goldens transcribed from the reference's own test suite
+  * (test/command/suite/normalizers/html — types.expected, checks.expected)
+  * plus edge-state cases derived from lib/normalizer.c:6185-6360. */
+class HtmlNormalizerSpec extends AnyFunSuite {
+  private def n(s: String) = HtmlNormalizer.normalize(s)
+
+  test("reference golden: types.expected") {
+    // &#x80; remaps through windows-1252 to € (U+20AC)
+    assert(n("a&lt;b&#x80;<b>c</b>&#x3042;d") == "a<b€cあd")
+  }
+
+  test("reference golden: checks.expected (incl. unterminated tag)") {
+    assert(n("a&lt;b&amp;<b>c</b>&#65;d&#x5A;e<b") == "a<b&cAdZe")
+  }
+
+  test("named entities: markup, latin-1, punctuation, greek, math") {
+    assert(n("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'")
+    assert(n("&nbsp;&copy;&eacute;&uuml;&szlig;") == " ©éüß")
+    assert(n("&ndash;&mdash;&hellip;&euro;&trade;") == "–—…€™")
+    assert(n("&alpha;&Omega;&pi;&sigmaf;") == "αΩπς")
+    assert(n("&le;&ge;&ne;&rarr;&infin;") == "≤≥≠→∞")
+  }
+
+  test("names are case-sensitive; unknown names stay literal with ';'") {
+    assert(n("&AMP;") == "&AMP;") // HTML4 table has no AMP (HTML5 does)
+    assert(n("&bogus;") == "&bogus;")
+    assert(n("&Euro;") == "&Euro;")
+  }
+
+  test("numeric refs: decimal, hex, windows-1252 remap, FFFD cases") {
+    assert(n("&#65;&#x41;&#X41;") == "AAA")
+    assert(n("&#12354;") == "あ")
+    for ((in, cp) <- Seq("&#x80;" -> 0x20AC, "&#x99;" -> 0x2122,
+        "&#x9F;" -> 0x0178, "&#145;" -> 0x2018))
+      assert(n(in) == new String(Character.toChars(cp)), in)
+    // 0, surrogates, out-of-range → U+FFFD (grn_text_code_point)
+    assert(n("&#0;") == "�")
+    assert(n("&#xD800;") == "�")
+    assert(n("&#x110000;") == "�")
+    assert(n("&#x1F600;") == new String(Character.toChars(0x1F600)))
+  }
+
+  test("invalid refs flush literally without re-entering states") {
+    assert(n("&#12a;") == "&#12a;") // stray letter in decimal
+    assert(n("&#xZZ;") == "&#xZZ;")
+    assert(n("&a b") == "&a b") // space aborts the ref, stays literal
+    // the aborting '<' is written as literal text, NOT a tag start
+    assert(n("&a<b;") == "&a<b;")
+    // '#' not directly after '&' aborts
+    assert(n("&a#b;") == "&a#b;")
+    // second '&' does not restart a reference
+    assert(n("&&amp;") == "&&amp;")
+  }
+
+  test("unterminated tag and unterminated ref at EOF are dropped") {
+    assert(n("x<unclosed") == "x")
+    assert(n("x&amp") == "x")
+  }
+
+  test("options: remove_tag / expand_character_reference independently off") {
+    val raw = "<b>a</b>&amp;b"
+    assert(HtmlNormalizer.normalize(raw, Options(removeTag = false)) == "<b>a</b>&b")
+    assert(HtmlNormalizer.normalize(raw,
+      Options(expandCharacterReference = false)) == "a&amp;b")
+    assert(HtmlNormalizer.normalize(raw,
+      Options(removeTag = false, expandCharacterReference = false)) == raw)
+  }
+
+  test("multibyte content passes through; tags around CJK strip clean") {
+    assert(n("<p>日本語</p>") == "日本語")
+    // multibyte char inside a pending ref flushes the ref literally
+    assert(n("&aあ;") == "&aあ;")
+  }
+}
