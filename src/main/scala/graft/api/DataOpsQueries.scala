@@ -395,25 +395,24 @@ object DataOpsQueries {
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DuckDB mirror GENERATED from the same 31-language profile constants
+    * the Spark plan uses (TextAnalysis.langScoreSql) — one definition,
+    * two engines. */
   val langIdSql: String = {
-    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
-    val hitCols = markers.map { case (l, ms) =>
-      s"coalesce(sum(tf) FILTER (WHERE term IN ${ms.map(m => s"'$m'").mkString("(", ",", ")")}), 0) AS hits_$l"
-    }.mkString(",\n    ")
-    val langs = markers.map(_._1)
-    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-    val cases = langs.map(l => s"WHEN hits_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |hits AS (
-       |  SELECT d.doc_id,
-       |    $hitCols
-       |  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
-       |  GROUP BY d.doc_id)
+    val langs = TextAnalysis.Langs
+    val scoreCols = langs.map(l =>
+      s"${TextAnalysis.langScoreSql(l, "t", duck = true)} AS s_$l").mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH t0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM t0)
        |SELECT doc_id,
-       |  CASE $cases ELSE 'und' END AS lang_pred,
-       |  CAST($best AS BIGINT) AS hits
-       |FROM hits ORDER BY doc_id""".stripMargin
+       |  CASE WHEN $best = 0 THEN 'und' $cases END AS lang_pred,
+       |  CAST($best AS BIGINT) AS score
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   def qualityQ(spark: SparkSession, dir: String): DataFrame =

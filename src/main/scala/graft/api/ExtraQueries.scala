@@ -506,6 +506,42 @@ object ExtraQueries {
       |    pow(sin(radians(139.0 - lon) / 2), 2)))) AS BIGINT) AS dist_m
       |FROM pts ORDER BY c_custkey""".stripMargin
 
+  /** geo_distance2 (sphere on GRN_GEO_RADIUS) + geo_distance3 (WGS84
+    * ellipsoid) — the deprecated-but-supported approximation procs
+    * (lib/proc.c:3141,3159; formulas lib/geo.c:2904-2940). */
+  def geoDistance23(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
+      .select(col("c_custkey"),
+        floor(graft.functions.Geo.distance2(
+          col("lat"), col("lon"), lit(35.0), lit(139.0))).cast("long").as("dist2_m"),
+        floor(graft.functions.Geo.distance3(
+          col("lat"), col("lon"), lit(35.0), lit(139.0))).cast("long").as("dist3_m"))
+      .orderBy("c_custkey")
+
+  val geoDistance23Sql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey, (abs(c_acctbal) % 120.0) - 60.0 AS lat,
+      |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
+      |  FROM customer),
+      |e AS (
+      |  SELECT c_custkey, lat, lon,
+      |    (radians(lat) + radians(35.0)) * 0.5 AS p
+      |  FROM pts),
+      |e2 AS (
+      |  SELECT c_custkey, lat, lon, p,
+      |    1.0 - 0.006694 * sin(p) * sin(p) AS q
+      |  FROM e)
+      |SELECT c_custkey,
+      |  CAST(floor(2.0 * 6357303.0 * asin(sqrt(
+      |    pow(sin(abs(radians(35.0 - lat)) * 0.5), 2) +
+      |    cos(radians(lat)) * cos(radians(35.0)) *
+      |    pow(sin(abs(radians(139.0 - lon)) * 0.5), 2)))) AS BIGINT) AS dist2_m,
+      |  CAST(floor(sqrt(
+      |    pow((6378137.0 / sqrt(q)) * cos(p) * abs(radians(lon - 139.0)), 2) +
+      |    pow((6335439.0 / (q * sqrt(q))) * abs(radians(lat - 35.0)), 2)
+      |  )) AS BIGINT) AS dist3_m
+      |FROM e2 ORDER BY c_custkey""".stripMargin
+
   /** grn_geo_in_circle (lib/geo.c:999) + grn_geo_in_rectangle (:1223) */
   def geoIn(spark: SparkSession, dir: String): DataFrame =
     geoPoints(spark, dir)
@@ -758,6 +794,7 @@ object ExtraQueries {
     "drilldown_sampled" -> drilldownSampled,
     "term_df_ratio" -> termDfRatio,
     "geo_distance" -> geoDistance,
+    "geo_distance23" -> geoDistance23,
     "geo_in" -> geoIn,
     "geo_in_indexed" -> geoInIndexed,
     "term_extract" -> termExtract,
@@ -796,6 +833,7 @@ object ExtraQueries {
     "drilldown_sampled" -> drilldownSampledSql,
     "term_df_ratio" -> termDfRatioSql,
     "geo_distance" -> geoDistanceSql,
+    "geo_distance23" -> geoDistance23Sql,
     "geo_in" -> geoInSql,
     "geo_in_indexed" -> geoInIndexedSql,
     "term_extract" -> termExtractSql,

@@ -12,30 +12,91 @@ import graft.functions.GraftFunctions._
   */
 object TextAnalysis {
 
-  /** tiny built-in stopword-marker profiles (language ID heuristic) */
-  final val LangMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "la", "de", "los", "es"),
-    "fr" -> Seq("le", "la", "les", "des", "est"))
+  /** Language-ID profiles over 31 languages — Cavnar & Trenkle (1994)
+    * style: a handful of highly DISCRIMINATIVE character n-grams per
+    * language (function words with space boundaries, diacritics,
+    * digraphs), weighted, plus per-char weights over Unicode script
+    * ranges for non-Latin scripts. Same-script languages are separated by
+    * marker weights on top of a shared base (ru/uk/bg over Cyrillic,
+    * ja/zh over Han — kana dominates for ja). Patterns are substrings
+    * matched on ' ' + lower(text) + ' '. */
+  final val LangPatterns: Map[String, Seq[(String, Int)]] = Map(
+    "en" -> Seq((" the ", 4), (" and ", 2), (" of ", 2), (" is ", 2), (" to ", 2)),
+    "de" -> Seq((" der ", 3), (" die ", 3), (" und ", 3), (" ist ", 2), (" nicht ", 3), ("ß", 4)),
+    "es" -> Seq((" el ", 3), (" los ", 3), (" es ", 2), (" que ", 2), ("ñ", 4), ("ción", 3)),
+    "fr" -> Seq((" le ", 3), (" les ", 3), (" des ", 2), (" est ", 2), (" et ", 2), ("ç", 3), (" une ", 3)),
+    "it" -> Seq((" il ", 3), (" che ", 3), (" di ", 2), (" per ", 2), (" gli ", 4), (" è ", 3)),
+    "pt" -> Seq(("ção", 4), (" não ", 4), (" uma ", 3), (" os ", 2), ("ã", 3)),
+    "nl" -> Seq((" het ", 4), (" een ", 3), (" van ", 3), (" niet ", 3), ("ij", 2)),
+    "sv" -> Seq((" och ", 4), (" att ", 3), (" är ", 3), ("å", 2)),
+    "da" -> Seq((" og ", 3), (" er ", 2), (" ikke ", 3), (" af ", 4), ("ø", 2)),
+    "no" -> Seq((" og ", 3), (" er ", 2), (" av ", 4), (" på ", 3), ("ø", 2)),
+    "fi" -> Seq((" ja ", 3), (" on ", 2), (" ei ", 3), ("ää", 4), ("kk", 2)),
+    "pl" -> Seq((" nie ", 3), (" jest ", 3), ("ł", 4), ("ż", 3), ("ę", 3)),
+    "cs" -> Seq((" je ", 2), (" se ", 2), ("ř", 5), ("ě", 4)),
+    "sk" -> Seq((" je ", 2), (" sa ", 3), ("ľ", 5), ("ô", 4)),
+    "hu" -> Seq((" az ", 3), (" és ", 4), (" nem ", 3), ("ő", 4), ("ű", 4)),
+    "ro" -> Seq((" și ", 4), (" în ", 3), ("ă", 3), ("ț", 4)),
+    "tr" -> Seq((" bir ", 3), (" ve ", 3), (" bu ", 2), ("ı", 3), ("ğ", 4), ("ş", 2)),
+    "id" -> Seq((" yang ", 4), (" dan ", 3), (" di ", 2), (" itu ", 3)),
+    "vi" -> Seq((" của ", 4), (" và ", 3), ("ư", 3), ("ạ", 3), ("ế", 3)),
+    "ca" -> Seq((" els ", 4), (" amb ", 3), (" és ", 3), ("l·l", 5)),
+    // uk/bg sit on ru's Cyrillic base (x2/char) — their exclusive letters
+    // must outweigh the base-rate difference on marker-bearing text
+    "uk" -> Seq(("ї", 12), ("є", 10), ("і", 5), ("ґ", 12)),
+    "bg" -> Seq(("ъ", 10), ("щ", 4)))
 
-  /** language-ID: count marker-word hits per language, argmax with
-    * deterministic ties (lexicographic), 'und' when no hits. */
+  /** per-char script-range weights: lang → (loCodePoint, hiCodePoint,
+    * weight-per-char). Cyrillic 0400-04FF, Greek 0370-03FF, Arabic
+    * 0600-06FF, Hebrew 0590-05FF, Devanagari 0900-097F, Thai 0E00-0E7F,
+    * kana 3040-30FF, Han 4E00-9FFF, Hangul syllables AC00-D7A3 +
+    * jamo 1100-11FF. */
+  final val LangScripts: Map[String, Seq[(Int, Int, Int)]] = Map(
+    "ru" -> Seq((0x0400, 0x04FF, 2)),
+    "uk" -> Seq((0x0400, 0x04FF, 1)),
+    "bg" -> Seq((0x0400, 0x04FF, 1)),
+    "el" -> Seq((0x0370, 0x03FF, 3)),
+    "ar" -> Seq((0x0600, 0x06FF, 3)),
+    "he" -> Seq((0x0590, 0x05FF, 3)),
+    "hi" -> Seq((0x0900, 0x097F, 3)),
+    "th" -> Seq((0x0E00, 0x0E7F, 3)),
+    "ja" -> Seq((0x3040, 0x30FF, 3), (0x4E00, 0x9FFF, 1)),
+    "zh" -> Seq((0x4E00, 0x9FFF, 2)),
+    "ko" -> Seq((0xAC00, 0xD7A3, 3), (0x1100, 0x11FF, 3)))
+
+  /** alphabetical language list (argmax tie order) */
+  final val Langs: Seq[String] = (LangPatterns.keySet ++ LangScripts.keySet).toSeq.sorted
+
+  /** one language's integer score as a SQL expression over a column `t`
+    * holding ' ' || lower(text) || ' '. `duck` switches regexp_replace to
+    * DuckDB's 4-arg global form — everything else is engine-shared SQL, so
+    * the Spark plan and the DuckDB oracle are one definition. */
+  def langScoreSql(lang: String, t: String, duck: Boolean): String = {
+    val pats = LangPatterns.getOrElse(lang, Nil).map { case (p, w) =>
+      s"CAST((length($t) - length(replace($t, '$p', ''))) / ${p.length} AS BIGINT) * $w"
+    }
+    val scripts = LangScripts.getOrElse(lang, Nil).map { case (lo, hi, w) =>
+      val re = s"[^${new String(Character.toChars(lo))}-${new String(Character.toChars(hi))}]"
+      if (duck) s"CAST(length(regexp_replace($t, '$re', '', 'g')) AS BIGINT) * $w"
+      else s"CAST(length(regexp_replace($t, '$re', '')) AS BIGINT) * $w"
+    }
+    (pats ++ scripts).mkString(" + ")
+  }
+
+  /** language-ID: weighted profile scores per language, argmax with
+    * deterministic ties (first alphabetical), 'und' when every score is 0.
+    * One codegen'd projection — no shuffle, no UDF; ~190 replace/regexp
+    * ops per row over a broadcast-free inline profile. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val hitCols = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val hits = markers.map(m =>
-        size(filter(toks, t => t === m))).reduce[Column](_ + _)
-      hits.as(s"hits_$lang")
+    val withT = docs.select(col(idCol).as("doc_id"),
+      concat(lit(" "), lower(col(textCol)), lit(" ")).as("t"))
+    val scoreCols = Langs.map(l => expr(langScoreSql(l, "t", duck = false)).as(s"s_$l"))
+    val scored = withT.select(col("doc_id") +: scoreCols: _*)
+    val best = Langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = Langs.reverse.foldLeft(lit("und")) { (elze, l) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(elze)
     }
-    val withHits = docs.select((col(idCol).as("doc_id") +: hitCols): _*)
-    val langs = LangMarkers.keys.toSeq.sorted
-    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
-    // first lexicographic language reaching the max hit count wins; 'und' if 0
-    val pred = langs.reverse.foldLeft(lit("und")) { (elze, l) =>
-      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(elze)
-    }
-    withHits.select(col("doc_id"), pred.as("lang_pred"), best.as("hits"))
+    scored.select(col("doc_id"), pred.as("lang_pred"), best.as("score"))
   }
 
   /** quality features + composite score (length / repetition / word shape) */
