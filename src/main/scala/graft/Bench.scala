@@ -90,11 +90,61 @@ object Bench {
     }.sorted
     def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
 
+    // ---- sectioned-index WAND datapoint: weighted BM25 top-k over the
+    // sectioned gate index must SKIP blocks (max_gtf group-sum bounds) ----
+    val sectIdx = graft.api.Tables.documentsSectionedIndex(spark, sfDir)
+    graft.query.MatchKernel.resetStats()
+    val sectSec = time {
+      sectIdx.topK(sectIdx.searchTerms(Seq("window"), MatchMode.Any,
+        ScoreMode.Bm25(), topK = 10,
+        sectionWeights = Map("title" -> 10.0)), 10).collect()
+    }
+    val (sectSeen, sectDecoded) = graft.query.MatchKernel.readStats()
+
+    // the gate corpus is tf-UNIFORM (every block bound alike), the one shape
+    // WAND cannot prune — so also measure a deterministic score-SKEWED
+    // sectioned corpus (strong docs up front, long weak tail), the shape
+    // web corpora actually have and WAND exists for
+    val skewDir = "/tmp/graft-bench/sect-skew"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(skewDir), true)
+    val skewDf = {
+      import spark.implicits._
+      val nSkew = 30000
+      (0L until nSkew).map { i =>
+        val (tT, tB) =
+          if (i < 64) (12 + (i % 4).toInt, 13 + (i % 3).toInt)
+          else if (i < nSkew * 2 / 3) (1, 0)
+          else (0, 0)
+        def rep(k: Int) = Seq.fill(k)("skewterm").mkString(" ")
+        val fillT = (0 until math.max(0, 18 - tT)).map(j => s"u${i}x$j").mkString(" ")
+        val fillB = (0 until math.max(0, 18 - tB)).map(j => s"v${i}x$j").mkString(" ")
+        (i, rep(tT) + " " + fillT, rep(tB) + " " + fillB)
+      }.toDF("doc_id", "title", "body")
+    }
+    // bucketBits=13 (8k docs/bucket → ~60 blocks per cursor): the bucket
+    // geometry a 100-TB index has, where block skipping is the win — the
+    // auto salt at 30k docs would make every bucket a single block
+    val skewIdx = IndexBuilder.buildSectioned(spark, skewDf, "doc_id",
+      Seq("title", "body"), skewDir,
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 13))
+    graft.query.MatchKernel.resetStats()
+    val skewSec = time {
+      skewIdx.topK(skewIdx.searchTerms(Seq("skewterm"), MatchMode.Any,
+        ScoreMode.Bm25(), topK = 10,
+        sectionWeights = Map("title" -> 2.0)), 10).collect()
+    }
+    val (skewSeen, skewDecoded) = graft.query.MatchKernel.readStats()
+
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
       s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
-      s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}}}"""
+      s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}},""" +
+      s""""sect_wand":{"secs":$sectSec,"blocks_seen":$sectSeen,"blocks_decoded":$sectDecoded,""" +
+      s""""blocks_skipped":${sectSeen - sectDecoded}},""" +
+      s""""sect_wand_skew":{"secs":$skewSec,"blocks_seen":$skewSeen,""" +
+      s""""blocks_decoded":$skewDecoded,"blocks_skipped":${skewSeen - skewDecoded}}}"""
     // headline summary FIRST: the driver artifact has tail-truncated the
     // full JSON twice — lead with the numbers + the path of the full copy
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")

@@ -92,6 +92,45 @@ object Normalizer {
     Normalized(lowered, classes)
   }
 
+  /** Resolve a reference normalizer NAME to a text→text function — the
+    * `normalize` command surface (reference registrations at
+    * lib/normalizer.c:6415-6472). NormalizerAuto is the legacy
+    * encoding-dispatched normalizer; for UTF-8 (the only encoding here) it
+    * is Unicode KC normalization + case folding, i.e. this engine's base
+    * normalize pass. Versioned NFKC names differ only by Unicode table
+    * vintage — all resolve to the JDK's tables (current Unicode), options
+    * in parentheses parse as the NFKC option family. */
+  def byName(spec: String): String => String = {
+    val p = spec.indexOf('(')
+    val (name, args) =
+      if (p < 0) (spec, "")
+      else {
+        require(spec.endsWith(")"), s"malformed normalizer spec: $spec")
+        (spec.take(p), spec.substring(p + 1, spec.length - 1))
+      }
+    name match {
+      case "NormalizerAuto" => s => normalize(s).text
+      case "NormalizerNFKC" | "NormalizerNFKC51" | "NormalizerNFKC100" |
+          "NormalizerNFKC121" | "NormalizerNFKC130" | "NormalizerNFKC150" |
+          "NormalizerNFKC160" =>
+        val opts = NfkcOptions.parse(args)
+        s => NfkcNormalizer.normalize(s, opts)
+      case "NormalizerHTML" =>
+        var o = HtmlNormalizer.Options()
+        args.split(',').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+          kv.split("=", 2) match {
+            case Array("remove_tag", v) => o = o.copy(removeTag = v.toBoolean)
+            case Array("expand_character_reference", v) =>
+              o = o.copy(expandCharacterReference = v.toBoolean)
+            case _ => throw new IllegalArgumentException(s"bad NormalizerHTML option: $kv")
+          }
+        }
+        val opts = o
+        s => HtmlNormalizer.normalize(s, opts)
+      case other => throw new IllegalArgumentException(s"unknown normalizer: $other")
+    }
+  }
+
   /** Offset-tracking variant for highlight/snippet: NFKC is applied PER
     * CODE POINT (compatibility mappings like full-width→ASCII, ligature
     * expansion, and lowercasing are per-codepoint, so offsets stay exact

@@ -73,6 +73,17 @@ class HtmlNormalizerSpec extends AnyFunSuite {
       Options(removeTag = false, expandCharacterReference = false)) == raw)
   }
 
+  test("Normalizer.byName resolves the reference normalizer names") {
+    import graft.analyzer.Normalizer
+    assert(Normalizer.byName("NormalizerAuto")("ＡＢＣ Spark") == "abc spark")
+    assert(Normalizer.byName("NormalizerNFKC130")("ＡＢＣ") == "abc")
+    assert(Normalizer.byName("NormalizerNFKC(unify_kana=true)")("アイウ") == "あいう")
+    assert(Normalizer.byName("NormalizerHTML")("<b>a</b>&amp;") == "a&")
+    assert(Normalizer.byName("NormalizerHTML(remove_tag=false)")("<b>a</b>&amp;")
+      == "<b>a</b>&")
+    intercept[IllegalArgumentException](Normalizer.byName("NormalizerBogus"))
+  }
+
   test("multibyte content passes through; tags around CJK strip clean") {
     assert(n("<p>日本語</p>") == "日本語")
     // multibyte char inside a pending ref flushes the ref literally
