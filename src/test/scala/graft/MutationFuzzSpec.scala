@@ -163,6 +163,27 @@ class MutationFuzzSpec extends AnyFunSuite {
       s"avgdl ${mutated.meta.avgdl} vs $wantAvgdl")
   }
 
+  test("PARTIAL compact preserves every result under fuzz mutations") {
+    // separate copy: the full-compact test below mutates $tmp/idx in place
+    val p = s"$tmp/idx-partial"
+    val df = baseCorpus.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    IndexBuilder.build(spark, df, "doc_id", "text", p,
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+    IncrementalIndex.delete(spark, p, deleted.toSeq.sorted)
+    IncrementalIndex.upsert(spark, p,
+      upserted.toSeq.sortBy(_._1).toDF("doc_id", "text"),
+      "doc_id", "text", "seg-fuzz", IndexConfig(tokenizer = "TokenBigram"))
+    // tombstones touch the base, so the whole run folds — the KEEP path is
+    // StreamingSpec territory; here the point is result preservation
+    val pc = IncrementalIndex.compactPartial(spark, p,
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 5),
+      minKeepPostings = 1000L)
+    assert(pc.meta.deleteSegments.isEmpty)
+    assert(pc.meta.nDocs == effective.size)
+    assert(pc.meta.formatVersion == IndexBuilder.CurrentFormatVersion)
+    trials(pc, "post-partial-compact")
+  }
+
   test("compact preserves every result and refreshes stats") {
     trials(mutated, "pre-compact-2") // ensure lazy init ran
     val compacted = IncrementalIndex.compact(spark, s"$tmp/idx",

@@ -243,6 +243,38 @@ class SectionSpec extends AnyFunSuite {
     assert(got.map(_._1) == want.map(_._1))
   }
 
+  test("sectioned WAND stays rank-identical through delete/upsert (filterBlocks max_gtf)") {
+    import spark.implicits._
+    val df = (0L until n).map(i => (i, title(i), body(i))).toDF("doc_id", "title", "body")
+    val p = s"$tmp/idx-mut"
+    IndexBuilder.buildSectioned(spark, df, "doc_id", Seq("title", "body"), p,
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 30))
+    graft.streaming.IncrementalIndex.delete(spark, p, (0L until n).filter(_ % 11 == 0))
+    graft.streaming.IncrementalIndex.upsert(spark,
+      p, (0L until n).filter(_ % 13 == 0)
+        .map(i => (i, "spark spark upserted", "spark body here")).toDF("doc_id", "title", "body"),
+      "doc_id", "title", "seg-mu", IndexConfig(tokenizer = "TokenBigram"))
+    val mIdx = GraftIndex(spark, p)
+    // the tombstone-touched bucket takes the filterBlocks path — its merged
+    // block must carry a sound max_gtf for the weighted WAND bound
+    val w = Map("title" -> 10.0)
+    val full = mIdx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Bm25(),
+        sectionWeights = w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    for (k <- Seq(5, 15)) {
+      val want = full.sortBy { case (d, s) => (-s, d) }.take(k).toSeq
+      val got = mIdx.topK(mIdx.searchTerms(Seq("spark"), MatchMode.Any,
+          ScoreMode.Bm25(), topK = k, sectionWeights = w), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"top-$k")
+      got.zip(want).foreach { case ((_, s1), (_, s2)) => assert(math.abs(s1 - s2) < 1e-9) }
+    }
+    // upserted titles (weight 10, tf 2) must dominate the top
+    assert(mIdx.topK(mIdx.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Tf,
+        topK = 5, sectionWeights = w), 5)
+      .collect().map(_.getLong(0)).forall(_ % 13 == 0))
+  }
+
   test("bucketBits invariance for sectioned index") {
     import spark.implicits._
     val df = (0L until n).map(i => (i, title(i), body(i))).toDF("doc_id", "title", "body")
