@@ -61,6 +61,17 @@ object Demo {
     show("upserted doc searchable", after.searchTerms(Seq("graftdemo")))
     println(s"[demo] upsert: doc $victim no longer matches 'spark': " +
       s"${after.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 0}")
+
+    // html ingestion front: real pages (tags + char refs) -> NormalizerHTML
+    // extraction -> byte-identical text per url (the input-hint invariant)
+    {
+      import org.apache.spark.sql.functions.col
+      val htmlDocs = graft.corpus.WebCorpus.generateHtml(spark, 300, partitions = 4)
+      val extracted = graft.corpus.WebCorpus.extractText(htmlDocs)
+        .join(htmlDocs.select("doc_id", "text"), "doc_id")
+      val ok = extracted.where(col("extracted") === col("text")).count()
+      println(s"[demo] html extraction byte-identical: $ok/300 docs")
+    }
     spark.stop()
   }
 }

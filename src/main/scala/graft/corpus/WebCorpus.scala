@@ -81,7 +81,6 @@ object WebCorpus {
     * range index (dense, deterministic — url sort order equals id order). */
   def generate(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     spark.range(0L, n, 1L, partitions)
       .select($"id".as("doc_id"))
       .as[Long]
@@ -92,5 +91,61 @@ object WebCorpus {
         (i, url, ts, t.getBytes("UTF-8"), t, lang)
       }
       .toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** render `t` as an HTML page: markup-significant chars become named
+    * refs, every non-ASCII char a numeric ref — so extraction exercises
+    * BOTH expansion paths of NormalizerHTML on every CJK doc. */
+  def wrapHtml(t: String, title: String = ""): String = {
+    val sb = new StringBuilder(t.length + 96)
+    sb.append("<html><head><meta charset=\"utf-8\"><title>").append(title)
+      .append("</title></head><body><p class=\"main\">")
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      cp match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c if c > 0x7f => sb.append("&#x").append(c.toHexString).append(';')
+        case c => sb.append(c.toChar)
+      }
+      i += Character.charCount(cp)
+    }
+    sb.append("</p></body></html>")
+    sb.toString
+  }
+
+  /** generate() with the html column holding a REAL page (tags + character
+    * references) instead of raw text bytes — the ingestion-shaped corpus.
+    * Kept separate so build-throughput benches don't pay the wrap cost. */
+  def generateHtml(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions)
+      .select($"id".as("doc_id"))
+      .as[Long]
+      .map { i =>
+        val (t, lang) = text(i, seed)
+        val url = f"https://example.org/crawl/${i}%012d"
+        val ts = new java.sql.Timestamp(1700000000000L + i * 1000L)
+        (i, url, ts, wrapHtml(t).getBytes("UTF-8"), t, lang)
+      }
+      .toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Text extraction from the html binary column — the ingestion front of
+    * the pipeline (input-hint invariant: extracted text is byte-identical
+    * to the `text` column per url). Distributed map over NormalizerHTML;
+    * output (doc_id, url, extracted). */
+  def extractText(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id".cast("long"), $"url".cast("string"), $"html")
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, url, html) =>
+        (id, url, graft.analyzer.HtmlNormalizer.normalize(new String(html, "UTF-8")))
+      }
+      .toDF("doc_id", "url", "extracted")
   }
 }

@@ -84,6 +84,25 @@ class HtmlNormalizerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Normalizer.byName("NormalizerBogus"))
   }
 
+  test("ingestion invariant: extracted text is byte-identical per url") {
+    // the north-rule per-row invariant over the input shape
+    // (url, warc_ts, html BINARY, text, lang): NormalizerHTML extraction of
+    // the real-HTML corpus (tags + named + numeric refs, CJK as &#x...;)
+    // reproduces the text column EXACTLY, distributed
+    val spark = TestSpark.spark
+    val docs = graft.corpus.WebCorpus.generateHtml(spark, 500, partitions = 4)
+    val joined = graft.corpus.WebCorpus.extractText(docs)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    import org.apache.spark.sql.functions.col
+    val mismatches = joined.where(col("extracted") =!= col("text")).count()
+    assert(mismatches == 0, s"$mismatches docs extract differently")
+    assert(joined.count() == 500)
+    // and the html really exercises both ref paths: some doc carries CJK
+    val aJa = docs.where(col("lang") === "ja").select("html").head()
+      .getAs[Array[Byte]](0)
+    assert(new String(aJa, "UTF-8").contains("&#x"))
+  }
+
   test("multibyte content passes through; tags around CJK strip clean") {
     assert(n("<p>日本語</p>") == "日本語")
     // multibyte char inside a pending ref flushes the ref literally
