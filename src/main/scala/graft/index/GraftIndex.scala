@@ -474,14 +474,20 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     * invariant, but they always leave tombstones, which routes to the
     * sorted fallback until compact restores the fast path. */
   /** per-segment (minDoc, maxDoc, count) from column stats — computed once
-    * per index handle, used to validate the id-order fast path */
-  @transient private lazy val segDocRanges: Seq[(Long, Long, Long)] =
-    tablePaths("docs").map { p =>
-      spark.read.parquet(p)
-        .agg(coalesce(min($"doc_id"), lit(Long.MaxValue)),
-          coalesce(max($"doc_id"), lit(Long.MinValue)), count(lit(1)))
-        .as[(Long, Long, Long)].head()
-    }
+    * per index handle in ONE union job (not a job per segment), used to
+    * validate the id-order fast path */
+  @transient private lazy val segDocRanges: Seq[(Long, Long, Long)] = {
+    val byOrd = tablePaths("docs").zipWithIndex.map { case (p, i) =>
+      spark.read.parquet(p).select(lit(i).as("ord"), $"doc_id")
+    }.reduce(_.unionByName(_))
+      .groupBy($"ord")
+      .agg(coalesce(min($"doc_id"), lit(Long.MaxValue)),
+        coalesce(max($"doc_id"), lit(Long.MinValue)), count(lit(1)))
+      .as[(Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    tablePaths("docs").indices.map(i =>
+      byOrd.getOrElse(i, (Long.MaxValue, Long.MinValue, 0L)))
+  }
 
   def idOrderScan(limit: Int): DataFrame = {
     if (deletesDf.nonEmpty || limit <= 0)

@@ -289,13 +289,22 @@ object IncrementalIndex {
     def tableP(s: String, t: String) =
       if (s == ".") s"$indexPath/$t" else s"$indexPath/$s/$t"
 
-    // per-segment footprint + doc range (column-stat scans, no payload read)
+    // per-segment footprint + doc range: ONE union job over column stats
+    // (a per-segment agg loop would be thousands of driver-sequential jobs
+    // on a segment-heavy index), no payload column read
+    val statRows = segs.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(tableP(s, "postings"))
+        .select(lit(i).as("ord"), $"cnt", $"payload_len", $"min_doc", $"max_doc")
+    }.reduce(_.unionByName(_))
+      .groupBy($"ord")
+      .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)),
+        coalesce(min($"min_doc"), lit(Long.MaxValue)),
+        coalesce(max($"max_doc"), lit(Long.MinValue)))
+      .as[(Int, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
     val infos: Seq[SegInfo] = segs.zipWithIndex.map { case (s, i) =>
-      val (np, pb, lo, hi) = spark.read.parquet(tableP(s, "postings"))
-        .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)),
-          coalesce(min($"min_doc"), lit(Long.MaxValue)),
-          coalesce(max($"max_doc"), lit(Long.MinValue)))
-        .as[(Long, Long, Long, Long)].head()
+      val (_, np, pb, lo, hi) =
+        statRows.getOrElse(i, (i, 0L, 0L, Long.MaxValue, Long.MinValue))
       // touched = some tombstone (doc, gen) has gen > ord and doc in range
       var a = {
         var x = 0; var y = td.length

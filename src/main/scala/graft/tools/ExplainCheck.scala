@@ -73,6 +73,13 @@ object ExplainCheck {
     check("geo zcell range pushdown",
       p6.contains("PushedFilters") && p6.contains("zcell"), p6)
 
+    // 7. suggest co-occurrence prunes postings with ONE bucket IN + range
+    //    filter (data, not a per-bucket OR expression chain)
+    val p7 = plan(graft.operators.Suggest.suggest(idx, "window", k = 5, maxDocs = 200))
+    check("suggest bucket-IN pushdown",
+      p7.contains("In(bucket") && p7.contains("max_doc") &&
+        p7.split("bucket").length - 1 <= 8, p7)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)
