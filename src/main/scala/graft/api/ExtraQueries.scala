@@ -736,18 +736,11 @@ object ExtraQueries {
     * expectations are anchored by the reference-suite goldens in
     * HtmlNormalizerSpec. */
   def normalizeHtml(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.table(spark, dir, "documents")
+    val wrapped = Tables.table(spark, dir, "documents")
       .where(col("doc_id") < 500)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val in = "<p class=\"x\">" + text + "</p> &amp; &lt;tag&gt; " +
-            "&#x3042;&#65; &nbsp;&euro; &bogus; x &untermin"
-          (id, graft.analyzer.HtmlNormalizer.normalize(in))
-        }
-      }
-      .toDF("doc_id", "normalized")
+      .withColumn("html_in", concat(lit("<p class=\"x\">"), col("text"),
+        lit("</p> &amp; &lt;tag&gt; &#x3042;&#65; &nbsp;&euro; &bogus; x &untermin")))
+    graft.analyzer.HtmlNormalizer.normalizeColumn(wrapped, "doc_id", "html_in")
       .orderBy("doc_id")
   }
 

@@ -473,21 +473,54 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     * parquet footers, no data read). Upserts break the ascending-range
     * invariant, but they always leave tombstones, which routes to the
     * sorted fallback until compact restores the fast path. */
-  /** per-segment (minDoc, maxDoc, count) from column stats — computed once
-    * per index handle in ONE union job (not a job per segment), used to
-    * validate the id-order fast path */
-  @transient private lazy val segDocRanges: Seq[(Long, Long, Long)] = {
-    val byOrd = tablePaths("docs").zipWithIndex.map { case (p, i) =>
-      spark.read.parquet(p).select(lit(i).as("ord"), $"doc_id")
-    }.reduce(_.unionByName(_))
-      .groupBy($"ord")
-      .agg(coalesce(min($"doc_id"), lit(Long.MaxValue)),
-        coalesce(max($"doc_id"), lit(Long.MinValue)), count(lit(1)))
-      .as[(Int, Long, Long, Long)]
-      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    tablePaths("docs").indices.map(i =>
-      byOrd.getOrElse(i, (Long.MaxValue, Long.MinValue, 0L)))
+  /** one docs segment's (minDoc, maxDoc, rowCount) read from its parquet
+    * FOOTER statistics — driver-side metadata IO only, no Spark job, no
+    * data pages touched. None when any row group lacks doc_id stats (then
+    * the fast path is unvalidatable and callers must fall back). */
+  private def footerDocRange(dir: String): Option[(Long, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fs = SegmentCatalog.fileSystem(spark, dir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("part-"))
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var cnt = 0L
+    var statsOk = true
+    files.foreach { st =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(st, spark.sparkContext.hadoopConfiguration))
+      try {
+        val it = rd.getFooter.getBlocks.iterator()
+        while (statsOk && it.hasNext) {
+          val b = it.next()
+          cnt += b.getRowCount
+          var found = false
+          val cit = b.getColumns.iterator()
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == "doc_id") {
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                    if s.hasNonNullValue =>
+                  if (s.genericGetMin < lo) lo = s.genericGetMin
+                  if (s.genericGetMax > hi) hi = s.genericGetMax
+                  found = true
+                case _ =>
+              }
+            }
+          }
+          if (!found && b.getRowCount > 0) statsOk = false
+        }
+      } finally rd.close()
+    }
+    if (statsOk) Some((lo, hi, cnt)) else None
   }
+
+  /** per-segment (minDoc, maxDoc, count) — computed once per index handle
+    * from footer stats */
+  @transient private lazy val segDocRanges: Seq[Option[(Long, Long, Long)]] =
+    tablePaths("docs").map(footerDocRange)
 
   def idOrderScan(limit: Int): DataFrame = {
     if (deletesDf.nonEmpty || limit <= 0)
@@ -495,20 +528,24 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     // The prefix trick REQUIRES strictly ascending disjoint segment ranges.
     // appendSegment documents append-only ids but cannot enforce them
     // (doc_id is a user key) — an out-of-order append would silently return
-    // the wrong first-N, so validate from the measured ranges and fall back
-    // to the sorted scan when the invariant doesn't hold.
+    // the wrong first-N, so validate from footer-stat ranges (metadata
+    // only, no data read) and fall back to the sorted scan when the
+    // invariant doesn't hold or stats are unavailable.
     val ranges = segDocRanges
-    val ascending = ranges.filter(_._3 > 0).sliding(2).forall {
-      case Seq((_, hi, _), (lo2, _, _)) => hi < lo2
-      case _ => true
+    val ascending = ranges.forall(_.isDefined) && {
+      val rs = ranges.flatten.filter(_._3 > 0)
+      rs.sliding(2).forall {
+        case Seq((_, hi, _), (lo2, _, _)) => hi < lo2
+        case _ => true
+      }
     }
     if (!ascending)
       return docs.select($"doc_id", $"dl").orderBy($"doc_id").limit(limit)
     val segs = tablePaths("docs")
     var acc = 0L
-    val prefix = segs.zip(ranges).takeWhile { case (_, (_, _, cnt)) =>
+    val prefix = segs.zip(ranges).takeWhile { case (_, r) =>
       val before = acc
-      acc += cnt
+      acc += r.map(_._3).getOrElse(0L)
       before < limit
     }.map(_._1)
     spark.read.parquet(prefix: _*)

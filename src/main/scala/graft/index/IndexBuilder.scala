@@ -358,9 +358,20 @@ object IndexBuilder {
 
     val fs = SegmentCatalog.fileSystem(spark, outPath)
     if (SegmentCatalog.isCommitted(fs, outPath)) {
-      // resume short-circuit — but a committed artifact from an older format
-      // (no per-block max_gtf) is rebuilt so sectioned WAND stays enabled
-      if (SegmentCatalog.readMeta(fs, outPath).formatVersion >= CurrentFormatVersion)
+      // resume short-circuit. A committed v1 SECTIONED artifact is rebuilt
+      // so sectioned WAND stays enabled (v1 blocks lack max_gtf) — but ONLY
+      // when it is an unmutated base-only build: appended segments and
+      // tombstones are state that `docs` does not contain, so deleting a
+      // mutated artifact here would silently discard data. Mutated or
+      // sid-less v1 artifacts stay as-is — the read path synthesizes
+      // max_gtf (= max_tf sid-less, sound; -1 sectioned, WAND off as
+      // before) and compact()/compactPartial-of-everything migrate them.
+      val m = SegmentCatalog.readMeta(fs, outPath)
+      val baseOnly = m.deleteSegments.isEmpty &&
+        (m.segments.isEmpty ||
+          m.segments.exists(s => s == "postings" || s == "terms" || s == "docs") ||
+          m.segments == Seq("."))
+      if (m.formatVersion >= CurrentFormatVersion || m.sections.isEmpty || !baseOnly)
         return GraftIndex(spark, outPath)
       fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
     }

@@ -60,13 +60,16 @@ object Highlighter {
     Some(raw.substring(from, math.min(raw.length, from + width)))
   }
 
-  /** snippet_html: up to `maxResults` NON-OVERLAPPING windows of `width`
-    * chars, each centered on a matched region with every contained match
-    * tagged (reference defaults: width 200, max_n_results 3, span.keyword
-    * tags — lib/proc/proc_snippet.c:448, grn_snip window placement
-    * lib/snip.c: start = match_start - (width - match_len)/2, clamped).
-    * A match already covered by the previous window does not open a new
-    * one. Empty when nothing matches. */
+  /** snippet_html: up to `maxResults` windows of `width` chars, each
+    * centered on a matched region with every contained match tagged
+    * (reference defaults: width 200, max_n_results 3, span.keyword tags —
+    * lib/proc/proc_snippet.c:448, grn_snip window placement lib/snip.c:
+    * start = match_start - (width - match_len)/2, clamped). A match FULLY
+    * covered by the previous window does not open a new one; a match
+    * straddling the previous window's boundary does (so every occurrence
+    * is tagged somewhere), which means adjacent windows may overlap by up
+    * to the centering pad and a straddling match can appear tagged in
+    * both. Empty when nothing matches. */
   def snippetsHtml(raw: String, tokenizer: Tokenizer, terms: Set[String],
       width: Int = 200, maxResults: Int = 3,
       open: String = "<span class=\"keyword\">",

@@ -44,10 +44,13 @@ final class SelectCache(capacity: Int = 100) {
 
   private def keyOf(idx: GraftIndex, req: Select.Request): Key = {
     val fs = SegmentCatalog.fileSystem(idx.spark, idx.path)
-    // length-prefix every field: unambiguous even when a field contains the
-    // join character (a bare concat would let "a"|1|23 collide with "a"|12|3)
+    // length-prefix every field AND every sortKeys element: unambiguous even
+    // when a field contains the join character (a bare concat would let
+    // "a"|1|23 collide with "a"|12|3, and Seq("a,b") with Seq("a","b"))
+    val sortNorm = req.sortKeys
+      .map { case (c, asc) => s"${c.length}:$c:$asc" }.mkString(";")
     val norm = Seq(req.query, req.score.toString,
-      req.sortKeys.mkString(","), req.offset.toString, req.limit.toString,
+      sortNorm, req.offset.toString, req.limit.toString,
       req.filterScript.getOrElse(""), req.allowLeadingNot.toString)
       .map(f => s"${f.length}:$f").mkString("|")
     Key(idx.path, SegmentCatalog.snapshotVersion(fs, idx.path), norm)

@@ -395,10 +395,14 @@ object IncrementalIndex {
     val totalPayload = kept.map(_.payloadBytes).sum + foldStats.map(_._2).sum
 
     // COMMIT (atomic manifest flip); nDocs/avgdl are already exact through
-    // mutations, tombstones are now folded away physically
+    // mutations, tombstones are now folded away physically. The format
+    // version only advances when EVERY segment was re-derived (kept
+    // segments' blocks are untouched, so a partial fold of a v1 index must
+    // stay v1 — the version is a whole-artifact per-block guarantee).
     SegmentCatalog.commit(fs, indexPath,
       meta.copy(
-        formatVersion = IndexBuilder.CurrentFormatVersion,
+        formatVersion =
+          if (kept.isEmpty) IndexBuilder.CurrentFormatVersion else meta.formatVersion,
         totalPostings = totalPostings,
         totalPayloadBytes = totalPayload,
         segments = newSegments,

@@ -212,6 +212,38 @@ class RobustnessSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("v1-format migration rebuilds ONLY unmutated base-only sectioned artifacts") {
+    import org.apache.spark.sql.functions.lit
+    // sectioned v1 artifact WITH an appended segment: build() must NOT
+    // delete it (the appended docs aren't in the `docs` argument)
+    val p = s"$tmp/idx-v1mut"
+    val df = WebCorpus.generate(spark, 80, 2)
+      .withColumn("title", lit("head words here"))
+    IndexBuilder.buildSectioned(spark, df.where($"doc_id" < 60),
+      "doc_id", Seq("title", "text"), p, cfg)
+    IncrementalIndex.appendSegment(spark, p, df.where($"doc_id" >= 60),
+      "doc_id", "text", "seg-v1", cfg)
+    // downgrade the manifest to formatVersion 1 (a pre-r4 artifact)
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, p)
+    val m1 = graft.index.SegmentCatalog.readMeta(fs, p)
+    graft.index.SegmentCatalog.commit(fs, p, m1.copy(formatVersion = 1), Map.empty)
+    val resumed = IndexBuilder.buildSectioned(spark, df.where($"doc_id" < 60),
+      "doc_id", Seq("title", "text"), p, cfg)
+    assert(resumed.meta.segments.contains("seg-v1"), "mutated v1 artifact was wiped!")
+    assert(resumed.docs.count() == 80, "appended docs must survive the resume")
+    // unmutated base-only sectioned v1: IS migrated (rebuilt as v2)
+    val p2 = s"$tmp/idx-v1base"
+    IndexBuilder.buildSectioned(spark, df.where($"doc_id" < 60),
+      "doc_id", Seq("title", "text"), p2, cfg)
+    val fs2 = graft.index.SegmentCatalog.fileSystem(spark, p2)
+    val m2 = graft.index.SegmentCatalog.readMeta(fs2, p2)
+    graft.index.SegmentCatalog.commit(fs2, p2, m2.copy(formatVersion = 1), Map.empty)
+    val migrated = IndexBuilder.buildSectioned(spark, df.where($"doc_id" < 60),
+      "doc_id", Seq("title", "text"), p2, cfg)
+    assert(migrated.meta.formatVersion == IndexBuilder.CurrentFormatVersion)
+    assert(migrated.docs.count() == 60)
+  }
+
   test("tombstones ride a broadcast: deleted docs stay hidden") {
     val path = s"$tmp/idx2"
     IndexBuilder.build(spark,

@@ -185,6 +185,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(a2 == b2)
   }
 
+  test("partial compaction survives a fully-deleted segment (empty fold)") {
+    val p = s"$tmp/idx-allgone"
+    val all = WebCorpus.generate(spark, nBase + 20, 4)
+    IndexBuilder.build(spark, all.where(col("doc_id") < nBase), "doc_id", "text", p, cfg)
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id") >= nBase), "doc_id", "text", "seg-x", cfg)
+    // kill EVERY doc of the appended segment → its fold would be empty
+    IncrementalIndex.delete(spark, p, (nBase.toLong until (nBase + 20).toLong).toSeq)
+    val pc = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
+    assert(pc.meta.deleteSegments.isEmpty)
+    assert(pc.meta.nDocs == nBase)
+    // the index must remain fully readable and correct
+    val terms = topTerms
+    val got = collectScores(pc.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
+    assert(got.nonEmpty && got.keys.forall(_ < nBase))
+    assert(pc.idOrderScan(5).collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(pc.postings.count() > 0)
+  }
+
   test("upsert replaces a doc under the SAME id; state survives compact") {
     val idxPath = s"$tmp/idx"
     val term = topTerms.head
