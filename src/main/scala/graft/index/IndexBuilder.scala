@@ -93,14 +93,32 @@ object IndexBuilder {
       runsAcc: Option[LongAccumulator]): Dataset[PostingRunRow] = {
     import docs.sparkSession.implicits._
     val tokenizerName = cfg.tokenizer
-    val withPositions = cfg.withPositions
-    val spillPostings = cfg.spillPostings
     docs.mapPartitions { it =>
       val tokenizer: Tokenizer = Analyzers.byName(tokenizerName)
-      val termOrder = new java.util.Comparator[graft.analyzer.Token] {
-        def compare(a: graft.analyzer.Token, b: graft.analyzer.Token): Int =
-          a.term.compareTo(b.term)
-      }
+      runsFromAnalyzed(it.map { case (docId, texts) =>
+        (docId, texts.map(t => tokenizer.tokenize(if (t == null) "" else t)))
+      }, cfg, bucketBits, sectioned, tokensAcc, runsAcc)
+    }
+  }
+
+  /** Run builder over PRE-ANALYZED docs — the shared back half of
+    * tokenizeToRuns, also fed directly by TokenColumn.buildIndex (the
+    * reference's token-column cache, lib/token_column.cpp: tokenize once,
+    * build many). One element per doc: per-section token arrays in sid
+    * order. */
+  private[index] def runsFromAnalyzed(
+      it: Iterator[(Long, Array[Array[graft.analyzer.Token]])],
+      cfg: IndexConfig,
+      bucketBits: Int,
+      sectioned: Boolean,
+      tokensAcc: Option[LongAccumulator],
+      runsAcc: Option[LongAccumulator]): Iterator[PostingRunRow] = {
+    val withPositions = cfg.withPositions
+    val spillPostings = cfg.spillPostings
+    val termOrder = new java.util.Comparator[graft.analyzer.Token] {
+      def compare(a: graft.analyzer.Token, b: graft.analyzer.Token): Int =
+        a.term.compareTo(b.term)
+    }
 
       new Iterator[PostingRunRow] {
         private val bufs = new java.util.HashMap[String, RunBuf]()
@@ -157,7 +175,7 @@ object IndexBuilder {
           }
         }
 
-        private def consumeDoc(docId: Long, sections: Array[String]): Unit = {
+        private def consumeDoc(docId: Long, toksBySec: Array[Array[graft.analyzer.Token]]): Unit = {
           // build() precondition: doc ids unique and ascending within each
           // input partition (PostingCodec runs are delta-coded). Fail fast
           // with the offending ids instead of erroring deep in the codec.
@@ -168,12 +186,9 @@ object IndexBuilder {
                 s"(repartitionByRange(col(idCol)).sortWithinPartitions(idCol)) " +
                 s"or deduplicate ids first")
           lastDocId = docId
-          val toksBySec = new Array[Array[graft.analyzer.Token]](sections.length)
           var dl = 0
           var s = 0
-          while (s < sections.length) {
-            val t = sections(s)
-            toksBySec(s) = tokenizer.tokenize(if (t == null) "" else t)
+          while (s < toksBySec.length) {
             dl += toksBySec(s).length
             s += 1
           }
@@ -184,7 +199,7 @@ object IndexBuilder {
           // sections consumed in ascending sid keeps every RunBuf ordered
           // by (doc, sid); dl is the whole-doc token count (BM25 length)
           s = 0
-          while (s < sections.length) {
+          while (s < toksBySec.length) {
             if (toksBySec(s).nonEmpty) consumeSection(docId, s + 1, toksBySec(s), dl)
             s += 1
           }
@@ -193,8 +208,8 @@ object IndexBuilder {
 
         private def fill(): Unit = {
           while (out.isEmpty && it.hasNext) {
-            val (docId, texts) = it.next()
-            consumeDoc(docId, texts)
+            val (docId, toks) = it.next()
+            consumeDoc(docId, toks)
             if (!it.hasNext) spill(curBucket)
           }
         }
@@ -202,7 +217,6 @@ object IndexBuilder {
         def hasNext: Boolean = { fill(); out.nonEmpty }
         def next(): PostingRunRow = { fill(); out.dequeue() }
       }
-    }
   }
 
   /** single-text-column convenience (the classic layout) */
