@@ -455,6 +455,22 @@ final class PreNormalizedTokenizer(base: Tokenizer, optSpec: String) extends Tok
       s"$name: offset tokenization through an option-normalizer is not supported")
 }
 
+/** Tokenizer over RAW HTML: NormalizerHTML extraction (tag strip +
+  * character-reference expansion) runs before the base analyzer, so an
+  * index can be built directly over an html column. Offsets would refer
+  * to the extracted text, not the raw html — fail fast like the Nfkc
+  * pre-pass. */
+final class HtmlPreTokenizer(base: Tokenizer) extends Tokenizer {
+  val name: String = s"${base.name}@Html"
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] =
+    base.tokenize(HtmlNormalizer.normalize(raw), mode)
+  override def countTokens(raw: String): Int =
+    base.countTokens(HtmlNormalizer.normalize(raw))
+  override def tokenizeWithOffsets(raw: String): Array[OffsetToken] =
+    throw new UnsupportedOperationException(
+      s"$name: offset tokenization through the HTML normalizer is not supported")
+}
+
 object Analyzers {
   val bigram = new NgramTokenizer(NgramOptions(n = 2), "TokenBigram")
   val unigram = new NgramTokenizer(NgramOptions(n = 1), "TokenUnigram")
@@ -506,6 +522,12 @@ object Analyzers {
       require(spec.endsWith(")"), s"malformed normalizer spec: $spec")
       new PreNormalizedTokenizer(byBaseName(spec.take(at)),
         spec.substring(at + 6, spec.length - 1))
+    case spec if spec.endsWith("@Html") =>
+      // NormalizerHTML pre-pass: index raw HTML columns directly
+      // ("TokenBigram@Html" analyzes the EXTRACTED text — tags stripped,
+      // character references expanded — and round-trips through the
+      // manifest like every analyzer spec)
+      new HtmlPreTokenizer(byBaseName(spec.dropRight(5)))
     case "TokenBigram" => bigram
     case "TokenUnigram" => unigram
     case "TokenTrigram" => trigram

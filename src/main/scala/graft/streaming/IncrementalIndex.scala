@@ -154,6 +154,52 @@ object IncrementalIndex {
     appendSegment(spark, indexPath, docs, idCol, textCol, segmentName, cfg)
   }
 
+  /** `load` with the reference's full record-merge controls
+    * (grn_load_internal, /root/reference/lib/load.c:1844-1955):
+    *
+    *  - `--each`: an expression applied to every incoming record before
+    *    load — here a DataFrame transform (any Column rewrite).
+    *  - `--ifexists`: records whose id ALREADY EXISTS are applied only
+    *    when the predicate holds over the EXISTING record (columns of
+    *    `existing`); failing records are skipped. Brand-new ids always
+    *    load.
+    *
+    * `existing` is the caller's current record table (this engine indexes
+    * the caller's storage rather than owning it — SURVEY §1.1). Returns
+    * the updated index; the caller applies the same merge to its table. */
+  def load(
+      spark: SparkSession,
+      indexPath: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      segmentName: String,
+      existing: DataFrame,
+      cfg: IndexConfig = IndexConfig(),
+      ifexists: Option[org.apache.spark.sql.Column] = None,
+      each: Option[DataFrame => DataFrame] = None): GraftIndex = {
+    val prepared = each.map(_(incoming)).getOrElse(incoming)
+    val existingIds = existing.select(col(idCol))
+    val survivors = ifexists match {
+      case None => prepared
+      case Some(pred) =>
+        // existing ids failing the predicate are dropped from the batch;
+        // the anti-join keeps genuinely new ids unconditionally
+        val allowedExisting = prepared.join(
+          existing.where(pred).select(col(idCol)), Seq(idCol), "left_semi")
+        val fresh = prepared.join(existingIds, Seq(idCol), "left_anti")
+        allowedExisting.unionByName(fresh)
+    }
+    if (survivors.isEmpty) GraftIndex(spark, indexPath)
+    else {
+      // the joins above destroy row order; restore the builder's
+      // ascending-unique-ids-per-partition precondition
+      val ordered = survivors
+        .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      upsert(spark, indexPath, ordered, idCol, textCol, segmentName, cfg)
+    }
+  }
+
   /** Fold all segments AND tombstones into a fresh base. Posting blocks
     * already have the run layout, so compaction is: (tombstone-filter) →
     * union block rows → shuffle by (term, bucket) → merge/re-chunk → new

@@ -103,6 +103,34 @@ class HtmlNormalizerSpec extends AnyFunSuite {
     assert(new String(aJa, "UTF-8").contains("&#x"))
   }
 
+  test("TokenBigram@Html indexes raw html identically to text (manifest round-trip)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-htmltok").toString
+    val docs = graft.corpus.WebCorpus.generateHtml(spark, 120, partitions = 2)
+      .withColumn("html_str", col("html").cast("string"))
+    val cfg = graft.index.IndexConfig(bucketBits = 5)
+    val overHtml = graft.index.IndexBuilder.build(spark, docs, "doc_id", "html_str",
+      s"$tmp/idx-html", cfg.copy(tokenizer = "TokenBigram@Html"))
+    val overText = graft.index.IndexBuilder.build(spark, docs, "doc_id", "text",
+      s"$tmp/idx-text", cfg)
+    assert(overHtml.meta.tokenizer == "TokenBigram@Html") // manifest round-trip
+    assert(overHtml.meta.nDocs == overText.meta.nDocs)
+    assert(math.abs(overHtml.meta.avgdl - overText.meta.avgdl) < 1e-9,
+      "html extraction must not change the analyzed token stream")
+    import graft.query.{MatchMode, ScoreMode}
+    val a = overHtml.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Bm25())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = overText.searchTerms(Seq("spark"), MatchMode.Any, ScoreMode.Bm25())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-9) }
+    // phrase positions survive extraction
+    val ph = "spark fulltext search engine"
+    assert(overHtml.searchPhrase(ph).collect().map(_.getLong(0)).toSet ==
+      overText.searchPhrase(ph).collect().map(_.getLong(0)).toSet)
+  }
+
   test("multibyte content passes through; tags around CJK strip clean") {
     assert(n("<p>日本語</p>") == "日本語")
     // multibyte char inside a pending ref flushes the ref literally

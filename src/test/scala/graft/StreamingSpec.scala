@@ -185,6 +185,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(a2 == b2)
   }
 
+  test("load --ifexists gates replacements on the EXISTING record; --each transforms") {
+    val p = s"$tmp/idx-load"
+    val base = WebCorpus.generate(spark, 100, 2)
+    IndexBuilder.build(spark, base, "doc_id", "text", p, cfg)
+    // incoming: replace docs 10,11 (existing) and add 200,201 (new)
+    val incoming = Seq(
+      (10L, "replattempt even"), (11L, "replattempt odd"),
+      (200L, "brandnew row"), (201L, "brandnew row too")).toDF("doc_id", "text")
+    // ifexists: only EVEN existing docs may be replaced; each: mark text
+    val loaded = IncrementalIndex.load(spark, p, incoming, "doc_id", "text",
+      "seg-load", existing = base, cfg = cfg,
+      ifexists = Some(col("doc_id") % 2 === 0),
+      each = Some(df => df.withColumn("text", concat(col("text"), lit(" eached")))))
+    // doc 10 replaced (even), doc 11 NOT (odd, predicate over existing row)
+    val repl = collectScores(loaded.searchTerms(Seq("replattempt"), MatchMode.Any, ScoreMode.Tf))
+    assert(repl.keySet == Set(10L), s"got ${repl.keySet}")
+    // new ids always load; --each applied to every surviving record
+    val eached = collectScores(loaded.searchTerms(Seq("eached"), MatchMode.Any, ScoreMode.Tf))
+    assert(eached.keySet == Set(10L, 200L, 201L))
+    assert(collectScores(loaded.searchTerms(Seq("brandnew"), MatchMode.Any, ScoreMode.Tf))
+      .keySet == Set(200L, 201L))
+    // doc 11 still matches its ORIGINAL text
+    val t11 = WebCorpus.text(11L, 42L)._1.split(" ").head
+    assert(collectScores(loaded.searchTerms(Seq(t11), MatchMode.Any, ScoreMode.Tf))
+      .contains(11L))
+    assert(loaded.meta.nDocs == 102) // 100 + 2 new
+  }
+
   test("partial compaction survives a fully-deleted segment (empty fold)") {
     val p = s"$tmp/idx-allgone"
     val all = WebCorpus.generate(spark, nBase + 20, 4)
