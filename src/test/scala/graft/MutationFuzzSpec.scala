@@ -184,6 +184,82 @@ class MutationFuzzSpec extends AnyFunSuite {
     trials(pc, "post-partial-compact")
   }
 
+  test("multi-generation fuzz: rounds of delete/upsert/append with partial compacts") {
+    // three mutation GENERATIONS, each followed by a partial compact —
+    // stresses tombstone-generation arithmetic across re-foldings (a
+    // tombstone's gen refers to the segment list it was committed against,
+    // which each partial compact rewrites)
+    val p = s"$tmp/idx-gen"
+    val genRnd = new scala.util.Random(99L)
+    var world = baseCorpus // expected corpus state
+    IndexBuilder.build(spark, world.toSeq.sortBy(_._1).toDF("doc_id", "text"), "doc_id",
+      "text", p, IndexConfig(tokenizer = "TokenBigram", bucketBits = 5))
+    var nextId = nDocs.toLong
+    for (round <- 0 until 3) {
+      // delete a few live docs
+      val dels = genRnd.shuffle(world.keys.toList).take(8)
+      IncrementalIndex.delete(spark, p, dels.sorted)
+      world = world -- dels
+      // upsert: replace 4 live + resurrect 2 deleted
+      val ups = (genRnd.shuffle(world.keys.toList).take(4) ++ dels.take(2))
+        .map(id => id -> randTextSeeded(genRnd)).toMap
+      IncrementalIndex.upsert(spark, p,
+        ups.toSeq.sortBy(_._1).toDF("doc_id", "text"),
+        "doc_id", "text", s"seg-g$round-u", IndexConfig(tokenizer = "TokenBigram"))
+      world = world ++ ups
+      // append brand-new docs
+      val news = (0 until 6).map(_ => { val id = nextId; nextId += 1
+        id -> randTextSeeded(genRnd) }).toMap
+      IncrementalIndex.appendSegment(spark, p,
+        news.toSeq.sortBy(_._1).toDF("doc_id", "text"),
+        "doc_id", "text", s"seg-g$round-a", IndexConfig(tokenizer = "TokenBigram"))
+      world = world ++ news
+      // fold the small/touched runs only
+      IncrementalIndex.compactPartial(spark, p,
+        IndexConfig(tokenizer = "TokenBigram", bucketBits = 5),
+        minKeepPostings = if (round % 2 == 0) 2000L else 100L)
+      val idx = GraftIndex(spark, p)
+      assert(idx.meta.deleteSegments.isEmpty, s"round $round tombstones left")
+      assert(idx.meta.nDocs == world.size, s"round $round nDocs")
+      // every match mode equals a naive recomputation of the world
+      for (terms <- Seq(Seq(vocab(3)), Seq(vocab(5), vocab(12)))) {
+        val got = collectScores(idx.searchTerms(terms, MatchMode.Any, ScoreMode.Tf))
+        val want = world.flatMap { case (id, text) =>
+          val s = terms.map(t => text.split(" ").count(_ == t)).sum.toDouble
+          if (s > 0) Some(id -> s) else None
+        }
+        assert(got == want, s"round $round terms=$terms")
+      }
+      val gotBm = collectScores(idx.searchTerms(Seq(vocab(7)), MatchMode.Any, ScoreMode.Bm25()))
+      val wantBm = naiveBm25Over(world, Seq(vocab(7)))
+      assert(gotBm.keySet == wantBm.keySet, s"round $round bm25 sets")
+      gotBm.foreach { case (id, s) =>
+        assert(math.abs(s - wantBm(id)) < 1e-9, s"round $round bm25 doc $id") }
+    }
+  }
+
+  private def randTextSeeded(r: scala.util.Random): String =
+    (0 until (3 + r.nextInt(20))).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+
+  /** reference-constant BM25 over an arbitrary corpus state */
+  private def naiveBm25Over(corpus: Map[Long, String], terms: Seq[String]): Map[Long, Double] = {
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.split(" ").length).sum.toDouble / n
+    val dfs = terms.map(t => t -> corpus.values.count(_.split(" ").contains(t))).toMap
+    corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0 || dfs(t) == 0) 0.0
+        else {
+          val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+          idf * tf * 3.0 / (tf + 2.0 * (1.0 - 0.75 + 0.75 * toks.length / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
   test("compact preserves every result and refreshes stats") {
     trials(mutated, "pre-compact-2") // ensure lazy init ran
     val compacted = IncrementalIndex.compact(spark, s"$tmp/idx",
