@@ -198,6 +198,40 @@ object DataOpsQueries {
       |  CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |FROM dots GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** embedding-cosine near-dup PAIRS (LSH-blocked + exact verify) — the
+    * embedding leg of the dedup family */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", dim = 64, minCos = 0.4, planes = 8)
+      .orderBy("a_id", "b_id")
+
+  val dedupEmbeddingSql: String =
+    """WITH dots AS (
+      |  SELECT vec_id, j,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(embedding, range(0, 64)),
+      |      p -> CAST(p[1] AS DOUBLE) *
+      |           CAST(((j * 131071 + p[2] * 524287) % 1000003) % 7 - 3 AS DOUBLE))),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1),
+      |wv AS (SELECT b.vec_id, b.bucket, e.embedding
+      |       FROM buckets b JOIN embeddings e USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y) /
+      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)) *
+      |     sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))) AS cos
+      |  FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, round(cos, 4) AS cos FROM pairs
+      |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.table(spark, dir, "embeddings"),
       "vec_id", "embedding", queryVec(spark, dir), dim = 64, k = 5, planes = 8)
@@ -484,6 +518,7 @@ object DataOpsQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
+    "dedup_embedding" -> dedupEmbedding,
     "ann_lsh_topk" -> annLshTopK,
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
@@ -505,6 +540,7 @@ object DataOpsQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,

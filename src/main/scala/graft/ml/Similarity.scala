@@ -74,6 +74,29 @@ object Similarity {
     vecs.select(col(idCol).as("vec_id"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
 
+  /** Embedding-cosine NEAR-DUPLICATE pairs: hyperplane-LSH bucket blocking
+    * (same bucket → candidate) + exact cosine verify >= `minCos`, distinct
+    * (a < b) pairs. The all-pairs product never materializes — candidates
+    * are bounded per bucket and buckets above `maxBucketDf` are dropped
+    * (logged-by-construction recall tradeoff), the same discipline as the
+    * minhash/simhash dedups. One bucket per vector → each pair appears at
+    * most once, no distinct needed. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCos: Double, planes: Int = 8, maxBucketDf: Long = 10000): DataFrame = {
+    val b = lshBuckets(vecs, idCol, vecCol, dim, planes)
+    val smallBuckets = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") <= maxBucketDf)
+      .select(col("bucket"))
+    val withV = b.join(smallBuckets, Seq("bucket"))
+      .join(vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+    withV.as("a").join(withV.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** ANN: top-k by cosine within the query's LSH bucket only */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], dim: Int, k: Int, planes: Int = 8): DataFrame = {
