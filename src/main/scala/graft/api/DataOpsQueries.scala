@@ -218,8 +218,10 @@ object DataOpsQueries {
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN d > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY 1),
+      |keep AS (SELECT bucket FROM buckets GROUP BY 1 HAVING count(*) <= 10000),
       |wv AS (SELECT b.vec_id, b.bucket, e.embedding
-      |       FROM buckets b JOIN embeddings e USING (vec_id)),
+      |       FROM buckets b JOIN keep USING (bucket)
+      |       JOIN embeddings e USING (vec_id)),
       |pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),

@@ -108,8 +108,13 @@ object WebCorpus {
         case '<' => sb.append("&lt;")
         case '>' => sb.append("&gt;")
         case '"' => sb.append("&quot;")
-        case c if c > 0x7f => sb.append("&#x").append(c.toHexString).append(';')
-        case c => sb.append(c.toChar)
+        // C1 controls (80-9F) must stay LITERAL: a numeric ref for them
+        // remaps through the WHATWG windows-1252 table on expansion, which
+        // would break the byte-identity extraction invariant; lone
+        // surrogates likewise (numeric refs for them expand to U+FFFD)
+        case c if c > 0x9f && !(c >= 0xD800 && c <= 0xDFFF) =>
+          sb.append("&#x").append(c.toHexString).append(';')
+        case c => sb.appendAll(Character.toChars(c))
       }
       i += Character.charCount(cp)
     }

@@ -487,7 +487,10 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     var hi = Long.MinValue
     var cnt = 0L
     var statsOk = true
-    files.foreach { st =>
+    var fi = 0
+    while (statsOk && fi < files.length) { // stop footer IO once invalid
+      val st = files(fi)
+      fi += 1
       val rd = ParquetFileReader.open(
         HadoopInputFile.fromStatus(st, spark.sparkContext.hadoopConfiguration))
       try {

@@ -341,6 +341,37 @@ object IndexBuilder {
       def next(): PostingBlockRow = { fill(); out.dequeue() }
     }
 
+  /** Stages 2/2b shared by the text and token-column builders: the term
+    * dictionary (df/total_tf/max_tf, term-sorted for prefix row-group
+    * pruning) and the reversed-term dictionary (rterm-sorted — the role of
+    * groonga's reversed-key patricia trie, lib/ii.cpp:10989 suffix
+    * cursor), both derived from a committed postings stage. ONE definition
+    * so the two build fronts can never drift. */
+  private[graft] def writeTermStages(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String,
+      shufflePartitions: Int): Unit = {
+    val termsPath = s"$outPath/terms"
+    SegmentCatalog.writeStageIfAbsent(fs, termsPath) {
+      spark.read.parquet(s"$outPath/postings")
+        .groupBy(col("term"))
+        .agg(sum(col("cnt")).as("df"), sum(col("tf_sum")).as("total_tf"),
+          max(col("max_tf")).cast("int").as("max_tf"))
+        .repartition(math.max(1, shufflePartitions / 4))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(termsPath)
+    }
+    val termsRevPath = s"$outPath/terms_rev"
+    SegmentCatalog.writeStageIfAbsent(fs, termsRevPath) {
+      spark.read.parquet(termsPath)
+        .select(reverse(col("term")).as("rterm"), col("term"), col("df"))
+        .repartition(math.max(1, shufflePartitions / 4))
+        .sortWithinPartitions(col("rterm"))
+        .write.mode("overwrite").parquet(termsRevPath)
+    }
+  }
+
   /** Build the index from `docs` (must expose a unique long id + text) and
     * commit it under `outPath`. Returns the opened index. */
   def build(
@@ -381,10 +412,14 @@ object IndexBuilder {
       // max_gtf (= max_tf sid-less, sound; -1 sectioned, WAND off as
       // before) and compact()/compactPartial-of-everything migrate them.
       val m = SegmentCatalog.readMeta(fs, outPath)
+      // exact match on the two base-only manifest shapes — an exists()
+      // check would misclassify a mutated index whose appended segment
+      // happened to be named like a table (appendSegment also rejects
+      // those names now, but don't rely on it for a DELETE decision)
       val baseOnly = m.deleteSegments.isEmpty &&
         (m.segments.isEmpty ||
-          m.segments.exists(s => s == "postings" || s == "terms" || s == "docs") ||
-          m.segments == Seq("."))
+          m.segments == Seq(".") ||
+          m.segments.toSet.subsetOf(Set("postings", "terms", "docs")))
       if (m.formatVersion >= CurrentFormatVersion || m.sections.isEmpty || !baseOnly)
         return GraftIndex(spark, outPath)
       fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
@@ -433,33 +468,9 @@ object IndexBuilder {
       }
     }
 
-    // ---- stage 2: term stats from block rows (postings/blockSize rows) ----
-    val termsPath = s"$outPath/terms"
-    SegmentCatalog.writeStageIfAbsent(fs, termsPath) {
-      timed("terms") {
-        spark.read.parquet(postingsPath)
-          .groupBy($"term")
-          .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
-            max($"max_tf").cast("int").as("max_tf"))
-          .repartition(math.max(1, shufflePartitions / 4))
-          .sortWithinPartitions($"term")
-          .write.mode("overwrite").parquet(termsPath)
-      }
-    }
-
-    // ---- stage 2b: reversed-term dictionary, sorted by reversed term so
-    // suffix expansion ($suffix / SUFFIX mode) prunes parquet row groups the
-    // same way prefix expansion prunes `terms` — the role of groonga's
-    // reversed-key patricia trie (lib/ii.cpp:10989 suffix cursor) ----
-    val termsRevPath = s"$outPath/terms_rev"
-    SegmentCatalog.writeStageIfAbsent(fs, termsRevPath) {
-      timed("terms_rev") {
-        spark.read.parquet(termsPath)
-          .select(reverse($"term").as("rterm"), $"term", $"df")
-          .repartition(math.max(1, shufflePartitions / 4))
-          .sortWithinPartitions($"rterm")
-          .write.mode("overwrite").parquet(termsRevPath)
-      }
+    // ---- stages 2/2b: term stats + reversed-term dictionary ----
+    timed("terms+terms_rev") {
+      writeTermStages(spark, fs, outPath, shufflePartitions)
     }
 
     // ---- stage 3: doc stats (map-only tokenize-count pass) ----

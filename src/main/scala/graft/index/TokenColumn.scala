@@ -52,9 +52,10 @@ object TokenColumn {
       }
     }.toDF("doc_id", "sid", "terms", "poss")
       .write.mode("overwrite").parquet(s"$path/tokens")
-    val meta =
-      s"""{"tokenizer":"$tokenizerName","sections":[${
-        textCols.map(c => "\"" + c + "\"").mkString(",")}]}"""
+    // proper JSON serialization — column names may contain quotes/backslashes
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.Serialization.write(
+      Map("tokenizer" -> tokenizerName, "sections" -> textCols))
     val os = fs.create(new Path(path, MetaFile), true)
     try os.write(meta.getBytes("UTF-8")) finally os.close()
   }
@@ -90,9 +91,10 @@ object TokenColumn {
       else spark.sessionState.conf.numShufflePartitions
 
     val tokens = spark.read.parquet(s"$tokenPath/tokens")
-    val nDocs =
-      if (cfg.nDocsHint > 0) cfg.nDocsHint
-      else tokens.select(countDistinct($"doc_id")).as[Long].head()
+    // salt sizing needs only the corpus magnitude: the (doc,section) row
+    // count is a cheap parquet-metadata upper bound on nDocs (a distinct
+    // count would re-scan the cache before the build even starts)
+    val nDocs = if (cfg.nDocsHint > 0) cfg.nDocsHint else tokens.count()
     val bucketBits = buildCfg.resolveBucketBits(nDocs, shufflePartitions)
 
     // group (doc, sid) rows back into per-doc section arrays; range
@@ -137,24 +139,7 @@ object TokenColumn {
         .write.mode("overwrite").parquet(postingsPath)
     }
 
-    val termsPath = s"$outPath/terms"
-    SegmentCatalog.writeStageIfAbsent(fs, termsPath) {
-      spark.read.parquet(postingsPath)
-        .groupBy($"term")
-        .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
-          max($"max_tf").cast("int").as("max_tf"))
-        .repartition(math.max(1, shufflePartitions / 4))
-        .sortWithinPartitions($"term")
-        .write.mode("overwrite").parquet(termsPath)
-    }
-    val termsRevPath = s"$outPath/terms_rev"
-    SegmentCatalog.writeStageIfAbsent(fs, termsRevPath) {
-      spark.read.parquet(termsPath)
-        .select(reverse($"term").as("rterm"), $"term", $"df")
-        .repartition(math.max(1, shufflePartitions / 4))
-        .sortWithinPartitions($"rterm")
-        .write.mode("overwrite").parquet(termsRevPath)
-    }
+    IndexBuilder.writeTermStages(spark, fs, outPath, shufflePartitions)
 
     // doc stats straight from the token table — dl = Σ section token counts
     val docsPath = s"$outPath/docs"

@@ -30,6 +30,9 @@ object IncrementalIndex {
       textCol: String,
       segmentName: String,
       cfg: IndexConfig = IndexConfig()): GraftIndex = {
+    require(!Set("postings", "terms", "terms_rev", "docs", ".").contains(segmentName) &&
+        !segmentName.contains("/"),
+      s"segment name '$segmentName' collides with reserved table/dir names")
     val fs = SegmentCatalog.fileSystem(spark, indexPath)
     require(SegmentCatalog.isCommitted(fs, indexPath),
       s"append requires a committed base index at $indexPath")
@@ -243,18 +246,7 @@ object IncrementalIndex {
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
       .mapPartitions(IndexBuilder.mergeRuns(mergeCfg, sectioned))
       .write.mode("overwrite").parquet(s"$dst/postings")
-    spark.read.parquet(s"$dst/postings")
-      .groupBy($"term")
-      .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
-        max($"max_tf").cast("int").as("max_tf"))
-      .repartition(math.max(1, shufflePartitions / 4))
-      .sortWithinPartitions($"term")
-      .write.mode("overwrite").parquet(s"$dst/terms")
-    spark.read.parquet(s"$dst/terms")
-      .select(reverse($"term").as("rterm"), $"term", $"df")
-      .repartition(math.max(1, shufflePartitions / 4))
-      .sortWithinPartitions($"rterm")
-      .write.mode("overwrite").parquet(s"$dst/terms_rev")
+    IndexBuilder.writeTermStages(spark, fs, dst, shufflePartitions)
     idx.docs.write.mode("overwrite").parquet(s"$dst/docs") // tombstone-filtered
 
     // fresh corpus stats (delete/upsert drift folds away here)
@@ -397,18 +389,7 @@ object IncrementalIndex {
         .sortWithinPartitions($"term", $"bucket", $"min_doc")
         .mapPartitions(IndexBuilder.mergeRuns(mergeCfg, sectioned))
         .write.mode("overwrite").parquet(s"$dst/postings")
-      spark.read.parquet(s"$dst/postings")
-        .groupBy($"term")
-        .agg(sum($"cnt").as("df"), sum($"tf_sum").as("total_tf"),
-          max($"max_tf").cast("int").as("max_tf"))
-        .repartition(math.max(1, shufflePartitions / 4))
-        .sortWithinPartitions($"term")
-        .write.mode("overwrite").parquet(s"$dst/terms")
-      spark.read.parquet(s"$dst/terms")
-        .select(reverse($"term").as("rterm"), $"term", $"df")
-        .repartition(math.max(1, shufflePartitions / 4))
-        .sortWithinPartitions($"rterm")
-        .write.mode("overwrite").parquet(s"$dst/terms_rev")
+      IndexBuilder.writeTermStages(spark, fs, dst, shufflePartitions)
       // docs of the run, tombstone-filtered with the run segments' ordinals
       run.map { si =>
         spark.read.parquet(tableP(si.name, "docs"))
