@@ -325,6 +325,27 @@ object DataOpsQueries {
 
   val annIvfTopKSql: String = annCosineTopKSql
 
+  private val pqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PQ persisted-index search. Re-ranking the WHOLE corpus makes the
+    * result exactly the brute-force top-k — which the oracle checks
+    * hash-exact, so codebook training, coding, the ADC lookup pass and
+    * re-rank plumbing are verified end-to-end; ADC recall at small rerank
+    * and the compression shape are PqIndexSpec territory. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = pqBuilt.computeIfAbsent(key, { _ =>
+      val p = s"/tmp/graft-cache/$key/pq-idx"
+      graft.ml.PqIndex.build(Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", p, m = 8, kCent = 16)
+      p
+    })
+    graft.ml.PqIndex.search(spark, path, queryVec(spark, dir),
+      k = 10, rerank = 1 << 22, excludeId = Some(0L))
+  }
+
+  val annPqTopKSql: String = annCosineTopKSql
+
   /** BATCH IVF search over the persisted index: 5 query vectors probing
     * ALL lists (exact path — plumbing verified hash-exact vs brute force;
     * nprobe < nlist recall is AnnIndexSpec territory) in ONE join +
@@ -524,6 +545,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopK,
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_pq_topk" -> annPqTopK,
     "ann_ivf_batch" -> annIvfBatch,
     "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
@@ -546,6 +568,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_pq_topk" -> annPqTopKSql,
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,

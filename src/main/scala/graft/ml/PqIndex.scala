@@ -1,0 +1,180 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization (PQ) ANN index — the MEMORY-side scale path for
+  * embedding search (Jégou, Douze & Schmid 2011, "Product Quantization for
+  * Nearest Neighbor Search" — public technique).
+  *
+  * At 100 TB of float32 embeddings, even IVF-FLAT must scan full vectors
+  * inside each probed list. PQ stores an m-byte CODE per vector instead:
+  * the (normalized) vector is split into m subspaces, each quantized to
+  * its nearest of `kCent` per-subspace centroids. A query then scores a
+  * candidate WITHOUT touching its floats: per subspace, the dot product
+  * of the query sub-vector with every centroid is precomputed into a
+  * lookup table (m x kCent doubles, driver-side), and the asymmetric
+  * distance (ADC) is just m table lookups summed — here a pure codegen'd
+  * column expression over the code array (no UDF). Candidates from the
+  * ADC pass are re-ranked by exact cosine over the stored floats;
+  * `rerank >= corpus size` degrades to exact brute force, which the
+  * oracle gate exploits exactly like the IVF nprobe=nlist path.
+  *
+  * Codebooks are trained per subspace with deterministic seeded Lloyd
+  * (seeds = the subvectors of the lowest-id sample rows; no RNG), on a
+  * driver-side sample — the codebook is tiny (m·kCent·dim/m floats) and
+  * at scale one trains on a sample anyway.
+  *
+  * Layout: `path/codebooks` (sub, cid, centroid), `path/codes`
+  * (vec_id, vec, code ARRAY<INT> — floats kept for the re-rank pass),
+  * `path/pqmeta.json` (dim, m, kCent).
+  */
+object PqIndex {
+
+  final case class Codebook(sub: Int, cid: Int, centroid: Array[Float])
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** deterministic per-subspace Lloyd on a driver-side sample */
+  private def trainSubspace(sample: Array[Array[Float]], kCent: Int, iters: Int)
+      : Array[Array[Float]] = {
+    var cents = sample.take(kCent).map(_.clone())
+    if (cents.length < kCent) // degenerate tiny corpus: pad with repeats
+      cents = Array.tabulate(kCent)(i => sample(i % sample.length).clone())
+    val d = sample(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kCent)(new Array[Double](d))
+      val counts = new Array[Long](kCent)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kCent) {
+          val dist = l2sq(v, cents(c))
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < kCent) {
+        if (counts(c) > 0) cents(c) = sums(c).map(x => (x / counts(c)).toFloat)
+        c += 1
+      }
+    }
+    cents
+  }
+
+  /** Build the PQ artifact. `trainSample` rows (lowest ids, deterministic)
+    * train the codebooks; every vector is then coded in one distributed
+    * pass with the codebooks broadcast. */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, kCent: Int = 16, iters: Int = 8,
+      trainSample: Int = 10000): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val data = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("vec")).as[(Long, Array[Float])]
+    val sample = data.orderBy(col("vec_id")).limit(trainSample)
+      .map { case (_, v) => normalize(v) }.collect()
+    require(sample.nonEmpty, "PQ build needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val books: Array[Codebook] = (0 until m).toArray.flatMap { s =>
+      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      trainSubspace(subSample, kCent, iters).zipWithIndex.map { case (c, cid) =>
+        Codebook(s, cid, c)
+      }
+    }
+    books.toSeq.toDS().write.mode("overwrite").parquet(s"$path/codebooks")
+    val bc = spark.sparkContext.broadcast(books.groupBy(_.sub).map {
+      case (s, bs) => s -> bs.sortBy(_.cid).map(_.centroid)
+    })
+    data.map { case (id, v) =>
+      val nv = normalize(v)
+      val code = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val sv = java.util.Arrays.copyOfRange(nv, s * sub, (s + 1) * sub)
+        val cents = bc.value(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val dist = l2sq(sv, cents(c))
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        code(s) = best
+        s += 1
+      }
+      (id, v, code)
+    }.toDF("vec_id", "vec", "code")
+      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.Serialization.write(
+      Map("dim" -> dim, "m" -> m, "kCent" -> kCent))
+    val os = fs.create(new org.apache.hadoop.fs.Path(path, "pqmeta.json"), true)
+    try os.write(meta.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "pqmeta.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    ((j \ "dim").extract[Int], (j \ "m").extract[Int], (j \ "kCent").extract[Int])
+  }
+
+  /** Top-k by cosine: ADC candidate pass over codes (m array lookups per
+    * row, codegen'd) -> top-`rerank` -> exact cosine re-rank over the
+    * stored floats. `rerank >= corpus` is exact brute force. */
+  def search(spark: SparkSession, path: String, query: Array[Float],
+      k: Int, rerank: Int, excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (dim, m, kCent) = readMeta(spark, path)
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    val books = spark.read.parquet(s"$path/codebooks").as[Codebook].collect()
+    val nq = normalize(query)
+    val sub = dim / m
+    // LUT(s, c) = dot(query_sub_s, centroid(s, c)); ADC = Σ_s LUT(s, code_s)
+    val lut = new Array[Double](m * kCent)
+    books.foreach { b =>
+      var d = 0.0; var i = 0
+      while (i < sub) { d += nq(b.sub * sub + i).toDouble * b.centroid(i); i += 1 }
+      lut(b.sub * kCent + b.cid) = d
+    }
+    val lutLit = typedLit(lut.toSeq)
+    val codes = spark.read.parquet(s"$path/codes")
+    val base = excludeId.fold(codes)(id => codes.where(col("vec_id") =!= id))
+    val adc = aggregate(
+      zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(lutLit, (s * kCent + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val q = typedLit(query.toSeq)
+    base.select(col("vec_id"), col("vec"), adc.as("adc"))
+      .orderBy(desc("adc"), asc("vec_id")).limit(rerank)
+      .select(col("vec_id"), Similarity.cosine(col("vec"), q).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** ADC-only scores (no re-rank) — for recall measurement */
+  private[graft] def adcTopK(spark: SparkSession, path: String,
+      query: Array[Float], k: Int): Seq[Long] = {
+    search(spark, path, query, k, rerank = k).collect().map(_.getLong(0)).toSeq
+  }
+}
