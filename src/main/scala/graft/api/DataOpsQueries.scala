@@ -305,27 +305,33 @@ object DataOpsQueries {
       |SELECT vec_id, round(cos, 4) AS cos FROM scored
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
-  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** per-JVM cache of persisted ANN artifacts keyed by (sfDir, leaf) — ONE
+    * definition of the key sanitization + cache-root convention for every
+    * gate that builds an on-disk index */
+  private val annArtifacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedArtifact(dir: String, leaf: String)(build: String => Unit): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    annArtifacts.computeIfAbsent(s"$key/$leaf", { _ =>
+      val p = s"/tmp/graft-cache/$key/$leaf"
+      build(p)
+      p
+    })
+  }
 
   /** IVF-FLAT persisted-index search. Probing ALL lists makes the result
     * exactly the brute-force top-k — which the oracle checks hash-exact, so
     * the build/assign/probe/scan plumbing is verified end-to-end; recall at
     * nprobe < nlist and list_id scan pruning are covered by AnnIndexSpec. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val path = ivfBuilt.computeIfAbsent(key, { _ =>
-      val p = s"/tmp/graft-cache/$key/ivf-idx"
+    val path = cachedArtifact(dir, "ivf-idx") { p =>
       graft.ml.AnnIndex.build(Tables.table(spark, dir, "embeddings"),
         "vec_id", "embedding", p, nlist = 16)
-      p
-    })
+    }
     graft.ml.AnnIndex.search(spark, path, queryVec(spark, dir),
       k = 10, nprobe = 16, excludeId = Some(0L))
   }
 
   val annIvfTopKSql: String = annCosineTopKSql
-
-  private val pqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** PQ persisted-index search. Re-ranking the WHOLE corpus makes the
     * result exactly the brute-force top-k — which the oracle checks
@@ -333,15 +339,17 @@ object DataOpsQueries {
     * re-rank plumbing are verified end-to-end; ADC recall at small rerank
     * and the compression shape are PqIndexSpec territory. */
   def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val path = pqBuilt.computeIfAbsent(key, { _ =>
-      val p = s"/tmp/graft-cache/$key/pq-idx"
+    val path = cachedArtifact(dir, "pq-idx") { p =>
       graft.ml.PqIndex.build(Tables.table(spark, dir, "embeddings"),
         "vec_id", "embedding", p, m = 8, kCent = 16)
-      p
-    })
+    }
+    // exactness precondition DERIVED, not assumed: rerank = corpus size
+    // (a fixed constant would silently turn the hash-exact gate
+    // approximate the day embeddings outgrows it)
+    val n = Tables.table(spark, dir, "embeddings").count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
     graft.ml.PqIndex.search(spark, path, queryVec(spark, dir),
-      k = 10, rerank = 1 << 22, excludeId = Some(0L))
+      k = 10, rerank = n.toInt, excludeId = Some(0L))
   }
 
   val annPqTopKSql: String = annCosineTopKSql
@@ -351,10 +359,12 @@ object DataOpsQueries {
     * nprobe < nlist recall is AnnIndexSpec territory) in ONE join +
     * window rank. */
   def annIvfBatch(spark: SparkSession, dir: String): DataFrame = {
-    annIvfTopK(spark, dir) // ensure the index exists (cached build)
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = cachedArtifact(dir, "ivf-idx") { p =>
+      graft.ml.AnnIndex.build(Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", p, nlist = 16)
+    }
     val e = Tables.table(spark, dir, "embeddings")
-    graft.ml.AnnIndex.searchBatch(spark, s"/tmp/graft-cache/$key/ivf-idx",
+    graft.ml.AnnIndex.searchBatch(spark, path,
         e.where(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 16)
       .orderBy("qid", "rank")
   }

@@ -30,11 +30,8 @@ object AnnIndex {
 
   final case class Centroid(list_id: Int, centroid: Array[Float])
 
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    s
-  }
+  private def l2sq(a: Array[Float], b: Array[Float]): Double =
+    Similarity.l2sqLocal(a, b)
 
   /** nearest-centroid id; ties resolve to the lowest list_id */
   private def assign(v: Array[Float], cents: Array[Centroid]): Int = {

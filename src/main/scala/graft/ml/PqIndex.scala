@@ -40,10 +40,17 @@ object PqIndex {
     if (n == 0.0) v else v.map(x => (x / n).toFloat)
   }
 
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    s
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = Similarity.l2sqLocal(a, b)
+
+  /** index of the nearest centroid (ties → lowest index) */
+  private def argmin(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = l2sq(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** deterministic per-subspace Lloyd on a driver-side sample */
@@ -57,12 +64,7 @@ object PqIndex {
       val sums = Array.fill(kCent)(new Array[Double](d))
       val counts = new Array[Long](kCent)
       sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < kCent) {
-          val dist = l2sq(v, cents(c))
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
+        val best = argmin(v, cents)
         var i = 0
         while (i < d) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
@@ -108,14 +110,7 @@ object PqIndex {
       var s = 0
       while (s < m) {
         val sv = java.util.Arrays.copyOfRange(nv, s * sub, (s + 1) * sub)
-        val cents = bc.value(s)
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cents.length) {
-          val dist = l2sq(sv, cents(c))
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        code(s) = best
+        code(s) = argmin(sv, bc.value(s))
         s += 1
       }
       (id, v, code)
@@ -165,16 +160,13 @@ object PqIndex {
         (c, s) => element_at(lutLit, (s * kCent + c + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)
     val q = typedLit(query.toSeq)
+    // final order matches the oracle convention exactly: by the ROUNDED
+    // cosine then vec_id (DuckDB's ORDER BY cos refers to the rounded
+    // output alias — ordering by the raw value could flip row order at a
+    // round(,4) tie boundary)
     base.select(col("vec_id"), col("vec"), adc.as("adc"))
       .orderBy(desc("adc"), asc("vec_id")).limit(rerank)
-      .select(col("vec_id"), Similarity.cosine(col("vec"), q).as("cos"))
+      .select(col("vec_id"), round(Similarity.cosine(col("vec"), q), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
-  }
-
-  /** ADC-only scores (no re-rank) — for recall measurement */
-  private[graft] def adcTopK(spark: SparkSession, path: String,
-      query: Array[Float], k: Int): Seq[Long] = {
-    search(spark, path, query, k, rerank = k).collect().map(_.getLong(0)).toSeq
   }
 }

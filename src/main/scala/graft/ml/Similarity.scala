@@ -15,6 +15,15 @@ object Similarity {
 
   /** elementwise dot product of two float vectors cast to double,
     * left-to-right accumulation (engine-reproducible). */
+  /** driver/executor-local squared L2 — the ONE distance kernel shared by
+    * the IVF assign path and PQ codebook training/coding (a numeric change
+    * here must reach every quantizer at once) */
+  private[ml] def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

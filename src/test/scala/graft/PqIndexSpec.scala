@@ -37,9 +37,15 @@ class PqIndexSpec extends AnyFunSuite {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** brute-force top-k under the GATE's ordering convention: by the
+    * 4-decimal ROUNDED cosine (ties -> lower id), matching the oracle SQL */
   private def bruteTop(q: Array[Float], k: Int, exclude: Long): Seq[Long] =
     (0L until n).filter(_ != exclude)
-      .map(id => (cos(q, vec(id)), id))
+      .map { id =>
+        val r = BigDecimal(cos(q, vec(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r, id)
+      }
       .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
 
   test("rerank >= corpus degrades to exact brute force") {
