@@ -354,6 +354,27 @@ object DataOpsQueries {
 
   val annPqTopKSql: String = annCosineTopKSql
 
+  /** IVF+PQ composed-index search. Probing ALL lists with a full-corpus
+    * re-rank makes the result exactly the brute-force top-k — which the
+    * oracle checks hash-exact, so centroid assignment, shared-codebook
+    * coding, the list-pruned code-only ADC scan, id-only candidate pass
+    * and float fetch-back are verified end-to-end; recall at
+    * nprobe < nlist / rerank < corpus and the no-floats-in-candidate-scan
+    * property are IvfPqSpec + ExplainCheck rule 8 territory. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedArtifact(dir, "ivfpq-idx") { p =>
+      graft.ml.IvfPq.build(Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
+    }
+    // exactness precondition DERIVED, not assumed (see annPqTopK)
+    val n = Tables.table(spark, dir, "embeddings").count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
+    graft.ml.IvfPq.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 16, rerank = n.toInt, excludeId = Some(0L))
+  }
+
+  val annIvfPqTopKSql: String = annCosineTopKSql
+
   /** BATCH IVF search over the persisted index: 5 query vectors probing
     * ALL lists (exact path — plumbing verified hash-exact vs brute force;
     * nprobe < nlist recall is AnnIndexSpec territory) in ONE join +
@@ -556,6 +577,7 @@ object DataOpsQueries {
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_pq_topk" -> annPqTopK,
+    "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_ivf_batch" -> annIvfBatch,
     "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
@@ -579,6 +601,7 @@ object DataOpsQueries {
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_pq_topk" -> annPqTopKSql,
+    "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,

@@ -33,7 +33,10 @@ object AnnIndex {
   private def l2sq(a: Array[Float], b: Array[Float]): Double =
     Similarity.l2sqLocal(a, b)
 
-  /** nearest-centroid id; ties resolve to the lowest list_id */
+  /** nearest-centroid id; ties resolve to the lowest list_id (shared with
+    * the IVF+PQ composed index — one assignment kernel for both layouts) */
+  private[ml] def assignList(v: Array[Float], cents: Array[Centroid]): Int = assign(v, cents)
+
   private def assign(v: Array[Float], cents: Array[Centroid]): Int = {
     var best = 0; var bestD = Double.MaxValue; var i = 0
     while (i < cents.length) {

@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ composed ANN index — the 100-TB shape for embedding search
+  * (Jégou, Douze & Schmid 2011 §IV "IVFADC"; public technique).
+  *
+  * `AnnIndex` (IVF-FLAT) prunes the corpus to nprobe/nlist but scans full
+  * float vectors inside each probed list; `PqIndex` (flat PQ) scores
+  * m-byte codes but scans ALL of them. This index composes the two: PQ
+  * codes are stored INSIDE the IVF lists, so a search
+  *   1. ranks the tiny driver-side centroid set → nprobe list ids,
+  *   2. scans `lists` with a pushed-down `list_id IN (...)` predicate
+  *      projecting ONLY `(vec_id, code)` — the candidate pass reads
+  *      nprobe/nlist of the corpus at m ints per row, never a float,
+  *   3. takes the top-`rerank` ids by codegen'd ADC score,
+  *   4. fetches floats for exactly those ids from the separately-stored
+  *      `vecs` table (vec_id-sorted → pushed-down IN = point lookups) and
+  *      re-ranks by exact cosine.
+  * Cost: (nprobe/nlist)·corpus · m-int IO for candidates + rerank·dim
+  * floats — vs corpus·dim floats for brute force.
+  *
+  * Codes quantize the NORMALIZED RAW vectors with codebooks shared across
+  * lists (not per-list residuals): a shared codebook keeps one ADC lookup
+  * table per query instead of nprobe of them, lets `nprobe = nlist ∧
+  * rerank ≥ corpus` degrade to exact brute force (the hash-gate path, same
+  * trick as IVF-FLAT/PQ), and costs some ADC resolution that the exact
+  * re-rank pass absorbs. Coarse centroids are deterministic
+  * (lowest-id seeds, or pass `centroids` from `AnnIndex.trainCentroids`).
+  *
+  * Layout: `path/centroids` (list_id, centroid — tiny, also readable by
+  * `AnnIndex.probeLists`), `path/codebooks` (sub, cid, centroid — tiny),
+  * `path/lists` (list_id, vec_id, code — partitioned+sorted by list_id,
+  * NO floats), `path/vecs` (vec_id, vec — range-partitioned+sorted by
+  * vec_id), `path/ivfpqmeta.json`.
+  */
+object IvfPq {
+
+  /** Build at `path`. `trainSample` lowest-id rows train the PQ codebooks;
+    * assignment + coding is ONE distributed pass with centroids and
+    * codebooks broadcast. */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int, m: Int = 8, kCent: Int = 16, iters: Int = 8,
+      trainSample: Int = 10000,
+      centroids: Option[Seq[Array[Float]]] = None,
+      filesPerList: Int = 1): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val data = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("vec")).as[(Long, Array[Float])]
+
+    val cents: Array[AnnIndex.Centroid] = centroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }.toArray
+      case None =>
+        data.orderBy(col("vec_id")).limit(nlist).map(_._2).collect()
+          .zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }
+    }
+    cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/centroids")
+
+    val sample = data.orderBy(col("vec_id")).limit(trainSample)
+      .map { case (_, v) => PqIndex.normalize(v) }.collect()
+    require(sample.nonEmpty, "IVF+PQ build needs a non-empty corpus")
+    val dim = sample(0).length
+    val sub = dim / m
+    val books = PqIndex.trainCodebooks(sample, dim, m, kCent, iters)
+    books.toSeq.toDS().write.mode("overwrite").parquet(s"$path/codebooks")
+
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcBooks = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
+    val coded = data.map { case (id, v) =>
+      (AnnIndex.assignList(v, bcCents.value), id, PqIndex.encode(v, bcBooks.value, m, sub))
+    }.toDF("list_id", "vec_id", "code")
+    coded
+      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .sortWithinPartitions("list_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$path/lists")
+
+    data.toDF("vec_id", "vec")
+      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.Serialization.write(
+      Map("dim" -> dim, "m" -> m, "kCent" -> kCent, "nlist" -> nlist))
+    val os = fs.create(new org.apache.hadoop.fs.Path(path, "ivfpqmeta.json"), true)
+    try os.write(meta.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "ivfpqmeta.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    ((j \ "dim").extract[Int], (j \ "m").extract[Int],
+      (j \ "kCent").extract[Int], (j \ "nlist").extract[Int])
+  }
+
+  /** The pruned ADC candidate pass as a DataFrame: `(vec_id, adc)` over the
+    * nprobe probed lists only. The `list_id IN` predicate pushes into the
+    * parquet scan (row-group pruning on the list_id-sorted layout) and the
+    * scan's ReadSchema carries no float column — `lists` stores none.
+    * Exposed for plan asserts (ExplainCheck rule 8). */
+  def candidates(spark: SparkSession, path: String, query: Array[Float],
+      nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val (dim, m, kCent, _) = readMeta(spark, path)
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    import spark.implicits._
+    val probed = AnnIndex.probeLists(spark, path, query, nprobe)
+    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val lut = PqIndex.lutFor(books, query, dim, m, kCent)
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(probed: _*))
+    val base = excludeId.fold(lists)(id => lists.where(col("vec_id") =!= id))
+    base.select(col("vec_id"),
+      PqIndex.adcColumn(lut, col("code"), m, kCent).as("adc"))
+  }
+
+  /** Top-k by cosine: centroid probe → code-only ADC scan of nprobe lists →
+    * top-`rerank` ids → exact cosine re-rank over floats fetched for
+    * exactly those ids. `nprobe = nlist ∧ rerank ≥ corpus` degrades to
+    * exact brute force (the oracle-gate path). */
+  def search(spark: SparkSession, path: String, query: Array[Float],
+      k: Int, nprobe: Int, rerank: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val topIds = candidates(spark, path, query, nprobe, excludeId)
+      .orderBy(desc("adc"), asc("vec_id")).limit(rerank)
+      .select(col("vec_id"))
+    PqIndex.rerankExact(spark.read.parquet(s"$path/vecs"), topIds, rerank, query, k)
+  }
+}

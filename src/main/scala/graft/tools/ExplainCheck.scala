@@ -80,6 +80,18 @@ object ExplainCheck {
       p7.contains("In(bucket") && p7.contains("max_doc") &&
         p7.split("bucket").length - 1 <= 8, p7)
 
+    // 8. IVF+PQ candidate pass: list_id IN pushed into the code scan and
+    //    NO float column in the ReadSchema — the ADC pass must cost m ints
+    //    per row, never dim floats
+    val ivfpqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    graft.ml.IvfPq.build(
+      graft.api.Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", ivfpqDir, nlist = 8, m = 8, kCent = 16)
+    val q8 = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val p8 = plan(graft.ml.IvfPq.candidates(spark, ivfpqDir, q8, nprobe = 3))
+    check("ivfpq code-only pruned candidate scan",
+      p8.contains("In(list_id") && !p8.contains("vec:array"), p8)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)

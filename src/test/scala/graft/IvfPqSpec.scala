@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.IvfPq
+
+/** IVF+PQ composed index: the nprobe=nlist ∧ rerank=corpus path must be
+  * EXACT (the gate's trick), the pruned ADC pass must carry real recall on
+  * clusterable data, and — the 100-TB property — the candidate scan must
+  * read ONLY (list_id, vec_id, code) with the list_id IN predicate pushed
+  * into the parquet scan, never a float vector. */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 32
+  private val n = 300
+  private def center(c: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      (((graft.corpus.WebCorpus.splitmix64(c * 977L + i) & 0xffff) / 65536.0f) - 0.5f) * 2f
+    }
+  private def vec(id: Long): Array[Float] = {
+    val base = center((id % 10).toInt)
+    Array.tabulate(dim) { i =>
+      base(i) + (((graft.corpus.WebCorpus.splitmix64(id * 31L + i) & 0xff) / 256.0f) - 0.5f) * 0.1f
+    }
+  }
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+  private lazy val built: String = {
+    val df = (0L until n).map(id => (id, vec(id).toSeq)).toDF("vec_id", "embedding")
+    IvfPq.build(df, "vec_id", "embedding", s"$tmp/ivfpq", nlist = 12, m = 8, kCent = 16)
+    s"$tmp/ivfpq"
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** brute-force top-k under the GATE's ordering convention: by the
+    * 4-decimal ROUNDED cosine (ties -> lower id), matching the oracle SQL */
+  private def bruteTop(q: Array[Float], k: Int, exclude: Long): Seq[Long] =
+    (0L until n).filter(_ != exclude)
+      .map { id =>
+        val r = BigDecimal(cos(q, vec(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r, id)
+      }
+      .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+
+  test("nprobe = nlist and rerank = corpus degrades to exact brute force") {
+    val q = vec(7L)
+    val got = IvfPq.search(spark, built, q, k = 10, nprobe = 12, rerank = n,
+      excludeId = Some(7L)).collect().map(_.getLong(0)).toSeq
+    assert(got == bruteTop(q, 10, 7L))
+  }
+
+  test("pruned probe recalls clustered neighbors (nprobe and rerank well below corpus)") {
+    var hits = 0; var total = 0
+    for (qid <- Seq(3L, 14L, 25L, 101L)) {
+      val q = vec(qid)
+      val truth = bruteTop(q, 10, qid).toSet
+      val got = IvfPq.search(spark, built, q, k = 10, nprobe = 4, rerank = 40,
+        excludeId = Some(qid)).collect().map(_.getLong(0)).toSet
+      hits += got.intersect(truth).size
+      total += truth.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"IVF+PQ recall@10 (nprobe=4/12, rerank=40) = $recall")
+  }
+
+  test("lists store codes only; candidate scan pushes list_id IN and reads no floats") {
+    val lists = spark.read.parquet(s"$built/lists")
+    assert(lists.columns.toSeq == Seq("list_id", "vec_id", "code"),
+      "the IVF+PQ lists table must not carry float vectors")
+    val plan = IvfPq.candidates(spark, built, vec(7L), nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(list_id"), s"list_id IN not pushed down:\n$plan")
+    assert(!plan.contains("vec:array"), s"candidate scan projects floats:\n$plan")
+  }
+
+  test("rerank fetch touches exactly the candidate ids (isin path)") {
+    // small rerank → driver collects ≤ rerank ids and the float fetch is a
+    // pushed-down vec_id IN over the vec_id-sorted vecs table
+    val q = vec(3L)
+    val df = IvfPq.search(spark, built, q, k = 5, nprobe = 12, rerank = 20,
+      excludeId = Some(3L))
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // the re-rank output is ordered by exact cosine desc
+    val cs = rows.map(_.getDouble(1)).toSeq
+    assert(cs == cs.sorted.reverse, s"not cos-desc ordered: $cs")
+    // ADC is approximate at rerank=20, but on clustered data the top-5
+    // must overlap the exact top-5 heavily
+    val overlap = rows.map(_.getLong(0)).toSet.intersect(bruteTop(q, 5, 3L).toSet).size
+    assert(overlap >= 4, s"only $overlap/5 of exact top-5 recovered")
+  }
+}
