@@ -15,12 +15,19 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   *                 (normalizer.c:6346-6353).
   *  - IN_CHAR_REF: `[A-Za-z0-9]` accumulate, `#` only directly after `&`;
   *                 `;` attempts expansion — named refs via the WHATWG table,
-  *                 `&#D;` / `&#xH;` numerically. An invalid reference (bad
-  *                 name, non-digit, or any other character) is written back
-  *                 AS-IS including the offending character, without
-  *                 re-entering tag/ref state; an unterminated reference at
-  *                 end of input is dropped (mirroring the reference's
-  *                 post-loop handling, which only flushes IN_TAG).
+  *                 `&#D;` / `&#xH;` numerically. On any other character the
+  *                 reference's switch falls through into the default state
+  *                 handler (normalizer.c:6293-6310): `<` (remove_tag) DROPS
+  *                 the pending `&...` and opens a tag, `&` (expand) drops it
+  *                 and restarts a reference; anything else — including an
+  *                 invalid `;` reference — is written back literally
+  *                 including the offending character. (One deliberate
+  *                 divergence, documented at the flush site: the reference
+  *                 also double-writes that terminating character via a
+  *                 second missing-break fallthrough; we write it once.) An
+  *                 unterminated reference at end of input is dropped
+  *                 (mirroring the post-loop handling, which only flushes
+  *                 IN_TAG).
   *
   * Numeric references follow the HTML numeric-character-reference-end rules
   * the reference transcribes (normalizer.c:6086-6180): code points
@@ -165,9 +172,26 @@ object HtmlNormalizer {
               (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
               (c >= '0' && c <= '9')) {
             consumed = true // accumulating
+          } else if (opts.removeTag && c == '<') {
+            // reference control flow: the IN_CHAR_REF case falls through
+            // into the default state handler (normalizer.c:6293-6310), so
+            // '<' DROPS the pending "&..." silently and opens a tag
+            // ("a&b<c>d" -> "ad")
+            state = InTag
+            refStart = -1
+            consumed = true
+          } else if (opts.expandCharacterReference && c == '&') {
+            // same fallthrough: '&' drops the pending ref and restarts one
+            // at this character ("&&amp;" -> "&")
+            refStart = i
+            consumed = true
           } else {
-            // non-name character: flush "&...X" literally, back to TEXT
-            // (the reference does NOT let this char restart a tag/ref)
+            // any other non-name character: flush "&...X" literally, back
+            // to TEXT. (Deliberate divergence: the reference's bottom
+            // switch is ALSO missing a break here, so it writes the
+            // terminating character a second time — "&bogus;" -> "&bogus;;"
+            // — a fallthrough artifact no reference golden covers; we write
+            // the literal run exactly once.)
             out.append(s, refStart, i + 1)
             state = Text
             refStart = -1

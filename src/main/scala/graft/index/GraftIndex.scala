@@ -483,6 +483,7 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     val fs = SegmentCatalog.fileSystem(spark, dir)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(_.getPath.getName.startsWith("part-"))
+    GraftIndex.footerReads.addAndGet(files.length)
     var lo = Long.MaxValue
     var hi = Long.MinValue
     var cnt = 0L
@@ -520,10 +521,16 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     if (statsOk) Some((lo, hi, cnt)) else None
   }
 
-  /** per-segment (minDoc, maxDoc, count) — computed once per index handle
-    * from footer stats */
-  @transient private lazy val segDocRanges: Seq[Option[(Long, Long, Long)]] =
-    tablePaths("docs").map(footerDocRange)
+  /** per-segment (minDoc, maxDoc, count) — from the MANIFEST's persisted
+    * segment stats when present (one manifest read for the whole index, the
+    * 100-TB path), else once per handle from parquet footers (legacy
+    * manifests only: O(segment files) of driver-sequential metadata IO) */
+  @transient private lazy val segDocRanges: Seq[Option[(Long, Long, Long)]] = {
+    val ss = meta.segStats
+    if (ss.nonEmpty && ss.map(_.name) == segDirs)
+      ss.map(s => Some((s.minDoc, s.maxDoc, s.nDocs)))
+    else tablePaths("docs").map(footerDocRange)
+  }
 
   def idOrderScan(limit: Int): DataFrame = {
     if (deletesDf.nonEmpty || limit <= 0)
@@ -560,4 +567,9 @@ object GraftIndex {
   /** tombstone sets past this size must be compacted away, not shipped to
     * every task */
   final val MaxDriverTombstones: Int = 5000000
+
+  /** count of parquet footers opened for doc-range fallbacks — observable
+    * so tests can prove a stats-bearing manifest serves id-order scans and
+    * partial compaction with ZERO per-file metadata IO */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -422,6 +422,16 @@ object IndexBuilder {
           m.segments.toSet.subsetOf(Set("postings", "terms", "docs")))
       if (m.formatVersion >= CurrentFormatVersion || m.sections.isEmpty || !baseOnly)
         return GraftIndex(spark, outPath)
+      // DESTRUCTIVE format migration: the committed v1 artifact is deleted
+      // and rebuilt from the CALLER'S CURRENT `docs`. Announce it loudly —
+      // if the caller's input changed since the original build, this is a
+      // silent content replacement masquerading as a migration.
+      System.err.println(
+        s"[graft-build] MIGRATING $outPath: deleting committed v1 sectioned " +
+          s"base-only artifact (formatVersion=${m.formatVersion} < " +
+          s"$CurrentFormatVersion) and rebuilding from the caller's current " +
+          "input. If the input is not byte-identical to the original build, " +
+          "the previous index contents are being replaced, not migrated.")
       fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
     }
 
@@ -497,7 +507,10 @@ object IndexBuilder {
 
     // ---- stage 4: manifest (atomic commit) ----
     val docStats = spark.read.parquet(docsPath)
-      .agg(count(lit(1)), avg($"dl")).as[(Long, Double)].head()
+      .agg(count(lit(1)), avg($"dl"),
+        coalesce(min($"doc_id"), lit(Long.MaxValue)),
+        coalesce(max($"doc_id"), lit(Long.MinValue)))
+      .as[(Long, Double, Long, Long)].head()
     val blockStats = spark.read.parquet(postingsPath)
       .agg(coalesce(sum($"cnt"), lit(0L)), count(lit(1)),
         coalesce(sum($"payload_len"), lit(0L)))
@@ -513,7 +526,9 @@ object IndexBuilder {
       totalPostings = blockStats._1,
       totalPayloadBytes = blockStats._3,
       segments = Seq("postings", "terms", "docs"),
-      sections = if (sectioned) textCols else Nil)
+      sections = if (sectioned) textCols else Nil,
+      segStats = Seq(SegStats(".", docStats._1, docStats._3, docStats._4,
+        blockStats._1, blockStats._3)))
     spark.sparkContext.removeSparkListener(lineage)
     try {
       val os = fs.create(new org.apache.hadoop.fs.Path(outPath, "build_metrics.json"), true)

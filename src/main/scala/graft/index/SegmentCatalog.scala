@@ -70,6 +70,10 @@ object SegmentCatalog {
       "segments" -> meta.segments,
       "sections" -> meta.sections,
       "deleteSegments" -> meta.deleteSegments,
+      "segStats" -> meta.segStats.map(s => Map(
+        "name" -> s.name, "nDocs" -> s.nDocs,
+        "minDoc" -> s.minDoc, "maxDoc" -> s.maxDoc,
+        "nPostings" -> s.nPostings, "payloadBytes" -> s.payloadBytes)),
       "metrics" -> metrics))
     val existing = manifests(fs, outPath)
     val ver = existing.lastOption.map(_._1 + 1).getOrElse(0L)
@@ -109,6 +113,7 @@ object SegmentCatalog {
       totalPayloadBytes = (j \ "totalPayloadBytes").extract[Long],
       segments = (j \ "segments").extract[Seq[String]],
       sections = (j \ "sections").extractOpt[Seq[String]].getOrElse(Nil),
-      deleteSegments = (j \ "deleteSegments").extractOpt[Seq[String]].getOrElse(Nil))
+      deleteSegments = (j \ "deleteSegments").extractOpt[Seq[String]].getOrElse(Nil),
+      segStats = (j \ "segStats").extractOpt[Seq[SegStats]].getOrElse(Nil))
   }
 }

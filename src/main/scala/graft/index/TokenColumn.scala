@@ -118,10 +118,16 @@ object TokenColumn {
             val secs = new Array[Array[Token]](nSections)
             while (in.hasNext && in.head._1 == docId) {
               val (_, sid, terms, poss) = in.next()
+              // fail fast on a corrupt/mismatched cache row — a clamp would
+              // silently assign it to the last section and overwrite
+              // whatever was already there
+              require(sid >= 1 && sid <= nSections,
+                s"token-cache row (doc_id=$docId, sid=$sid) out of range for " +
+                  s"$nSections section(s) — cache does not match the index schema")
               val toks = new Array[Token](terms.length)
               var i = 0
               while (i < toks.length) { toks(i) = Token(terms(i), poss(i), 0); i += 1 }
-              secs(math.min(sid, nSections) - 1) = toks
+              secs(sid - 1) = toks
             }
             var s = 0
             while (s < nSections) {
@@ -151,7 +157,10 @@ object TokenColumn {
     }
 
     val docStats = spark.read.parquet(docsPath)
-      .agg(count(lit(1)), coalesce(avg($"dl"), lit(0.0))).as[(Long, Double)].head()
+      .agg(count(lit(1)), coalesce(avg($"dl"), lit(0.0)),
+        coalesce(min($"doc_id"), lit(Long.MaxValue)),
+        coalesce(max($"doc_id"), lit(Long.MinValue)))
+      .as[(Long, Double, Long, Long)].head()
     val blockStats = spark.read.parquet(postingsPath)
       .agg(coalesce(sum($"cnt"), lit(0L)), count(lit(1)),
         coalesce(sum($"payload_len"), lit(0L)))
@@ -167,7 +176,9 @@ object TokenColumn {
       totalPostings = blockStats._1,
       totalPayloadBytes = blockStats._3,
       segments = Seq("postings", "terms", "docs"),
-      sections = if (sectioned) sections else Nil)
+      sections = if (sectioned) sections else Nil,
+      segStats = Seq(SegStats(".", docStats._1, docStats._3, docStats._4,
+        blockStats._1, blockStats._3)))
     SegmentCatalog.commit(fs, outPath, meta,
       Map("builtFromTokenColumn" -> tokenPath,
         "postings" -> blockStats._1.toString,

@@ -94,7 +94,28 @@ final case class IndexMeta(
     /** tombstone segment dirs, each holding (doc_id, gen) rows: doc_id is
       * dead in all data segments with seg_ord < gen. Folded away by
       * compact. (delete path of grn_ii_delete_one, lib/grn_ii.h:158) */
-    deleteSegments: Seq[String] = Nil)
+    deleteSegments: Seq[String] = Nil,
+    /** per-data-segment statistics, aligned by `name` with the NORMALIZED
+      * segment list ("." = root base). Persisted at every commit so a
+      * reader/compactor gets doc ranges and footprints from ONE manifest
+      * read — at 10k+ segments the previous per-file parquet-footer loop
+      * was minutes of driver-sequential metadata IO per index open.
+      * Empty on legacy manifests: readers fall back to footer stats /
+      * a stats job (the reference keeps chunk stats inline in the buffer
+      * headers for the same reason, /root/reference/lib/ii.cpp:16200). */
+    segStats: Seq[SegStats] = Nil)
+
+/** One data segment's manifest-persisted statistics. `minDoc`/`maxDoc` are
+  * the DOCS-table id range (Long.MaxValue/MinValue when empty) — a superset
+  * of the postings doc range, so sound for both the id-order-scan
+  * ascending-invariant check and tombstone-touch tests. */
+final case class SegStats(
+    name: String,
+    nDocs: Long,
+    minDoc: Long,
+    maxDoc: Long,
+    nPostings: Long,
+    payloadBytes: Long)
 
 final case class IndexConfig(
     tokenizer: String = "TokenBigram",

@@ -52,12 +52,20 @@ object IncrementalIndex {
       else base.segments
     val nDocs = base.nDocs + segMeta.nDocs
     val totalTokens = base.avgdl * base.nDocs + segMeta.avgdl * segMeta.nDocs
+    // segment stats ride the manifest forward: the sub-build's own stats
+    // (committed under name ".") take the new segment's name. A legacy base
+    // without aligned stats stays legacy (readers fall back) until compact.
+    val newStats =
+      if (base.segStats.map(_.name) == oldSegs && segMeta.segStats.nonEmpty)
+        base.segStats ++ segMeta.segStats.map(_.copy(name = segmentName))
+      else Nil
     val merged = base.copy(
       nDocs = nDocs,
       avgdl = if (nDocs == 0) 0.0 else totalTokens / nDocs,
       totalPostings = base.totalPostings + segMeta.totalPostings,
       totalPayloadBytes = base.totalPayloadBytes + segMeta.totalPayloadBytes,
-      segments = oldSegs :+ segmentName)
+      segments = oldSegs :+ segmentName,
+      segStats = newStats)
     SegmentCatalog.commit(fs, indexPath, merged,
       Map("appendedSegment" -> segmentName))
     GraftIndex(spark, indexPath)
@@ -251,7 +259,10 @@ object IncrementalIndex {
 
     // fresh corpus stats (delete/upsert drift folds away here)
     val docStats = spark.read.parquet(s"$dst/docs")
-      .agg(count(lit(1)), coalesce(avg($"dl"), lit(0.0))).as[(Long, Double)].head()
+      .agg(count(lit(1)), coalesce(avg($"dl"), lit(0.0)),
+        coalesce(min($"doc_id"), lit(Long.MaxValue)),
+        coalesce(max($"doc_id"), lit(Long.MinValue)))
+      .as[(Long, Double, Long, Long)].head()
     val blockStats = spark.read.parquet(s"$dst/postings")
       .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
       .as[(Long, Long)].head()
@@ -272,7 +283,9 @@ object IncrementalIndex {
         totalPostings = blockStats._1,
         totalPayloadBytes = blockStats._2,
         segments = Seq(dstName),
-        deleteSegments = Nil),
+        deleteSegments = Nil,
+        segStats = Seq(SegStats(dstName, docStats._1, docStats._3, docStats._4,
+          blockStats._1, blockStats._2))),
       Map("compacted" -> dstName))
 
     // cleanup after commit (crash here only leaves unreferenced garbage)
@@ -284,8 +297,11 @@ object IncrementalIndex {
     GraftIndex(spark, indexPath)
   }
 
-  private case class SegInfo(name: String, ord: Int, nPostings: Long,
-      payloadBytes: Long, minDoc: Long, maxDoc: Long, touched: Boolean)
+  private case class SegInfo(stats: SegStats, ord: Int, touched: Boolean) {
+    def name: String = stats.name
+    def nPostings: Long = stats.nPostings
+    def payloadBytes: Long = stats.payloadBytes
+  }
 
   /** LEVELED (partial) compaction — the scale path. `compact` rewrites the
     * whole base; at 100 TB a compaction triggered by a 0.1% tombstone set
@@ -327,23 +343,41 @@ object IncrementalIndex {
     def tableP(s: String, t: String) =
       if (s == ".") s"$indexPath/$t" else s"$indexPath/$s/$t"
 
-    // per-segment footprint + doc range: ONE union job over column stats
-    // (a per-segment agg loop would be thousands of driver-sequential jobs
-    // on a segment-heavy index), no payload column read
-    val statRows = segs.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(tableP(s, "postings"))
-        .select(lit(i).as("ord"), $"cnt", $"payload_len", $"min_doc", $"max_doc")
-    }.reduce(_.unionByName(_))
-      .groupBy($"ord")
-      .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)),
-        coalesce(min($"min_doc"), lit(Long.MaxValue)),
-        coalesce(max($"max_doc"), lit(Long.MinValue)))
-      .as[(Int, Long, Long, Long, Long)]
-      .collect().map(r => r._1 -> r).toMap
-    val infos: Seq[SegInfo] = segs.zipWithIndex.map { case (s, i) =>
-      val (_, np, pb, lo, hi) =
-        statRows.getOrElse(i, (i, 0L, 0L, Long.MaxValue, Long.MinValue))
+    // Per-segment footprint + doc range: straight from the MANIFEST when
+    // this index has committed segment stats (zero jobs, zero file IO — the
+    // 100-TB path: a 0.1%-tombstone compaction must not pay a metadata scan
+    // of every segment first). Legacy manifests without stats pay ONE
+    // postings + ONE docs union job (never a per-segment driver loop) and
+    // come out of this compaction with stats persisted.
+    val baseStats: Seq[SegStats] =
+      if (meta.segStats.map(_.name) == segs) meta.segStats
+      else {
+        val pStats = segs.zipWithIndex.map { case (s, i) =>
+          spark.read.parquet(tableP(s, "postings"))
+            .select(lit(i).as("ord"), $"cnt", $"payload_len")
+        }.reduce(_.unionByName(_))
+          .groupBy($"ord")
+          .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
+          .as[(Int, Long, Long)]
+          .collect().map(r => r._1 -> r).toMap
+        val dStats = segs.zipWithIndex.map { case (s, i) =>
+          spark.read.parquet(tableP(s, "docs")).select(lit(i).as("ord"), $"doc_id")
+        }.reduce(_.unionByName(_))
+          .groupBy($"ord")
+          .agg(count(lit(1)),
+            coalesce(min($"doc_id"), lit(Long.MaxValue)),
+            coalesce(max($"doc_id"), lit(Long.MinValue)))
+          .as[(Int, Long, Long, Long)]
+          .collect().map(r => r._1 -> r).toMap
+        segs.zipWithIndex.map { case (s, i) =>
+          val (_, np, pb) = pStats.getOrElse(i, (i, 0L, 0L))
+          val (_, nd, lo, hi) = dStats.getOrElse(i, (i, 0L, Long.MaxValue, Long.MinValue))
+          SegStats(s, nd, lo, hi, np, pb)
+        }
+      }
+    val infos: Seq[SegInfo] = baseStats.zipWithIndex.map { case (ss, i) =>
       // touched = some tombstone (doc, gen) has gen > ord and doc in range
+      val (lo, hi) = (ss.minDoc, ss.maxDoc)
       var a = {
         var x = 0; var y = td.length
         while (x < y) { val m = (x + y) >>> 1; if (td(m) < lo) x = m + 1 else y = m }
@@ -351,7 +385,7 @@ object IncrementalIndex {
       }
       var hit = false
       while (!hit && a < td.length && td(a) <= hi) { hit = tg(a) > i; a += 1 }
-      SegInfo(s, i, np, pb, lo, hi, hit)
+      SegInfo(ss, i, hit)
     }
 
     // contiguous runs of foldable segments; a run folds if it must (touched
@@ -411,15 +445,39 @@ object IncrementalIndex {
       else foldNames.get(si.ord) // fold dir takes the run head's slot
     }
 
-    // exact new totals: kept segments keep their measured footprint
-    val foldStats = foldNames.values.toSeq.map { n =>
+    // exact new totals + full stats for the fold dirs: ONE postings + ONE
+    // docs union job across all folds (kept segments keep their measured
+    // footprint from the manifest — no IO for them at all)
+    val foldDirs = foldNames.values.toSeq
+    val foldP = if (foldDirs.isEmpty) Map.empty[String, (Long, Long)] else foldDirs.map { n =>
       spark.read.parquet(s"$indexPath/$n/postings")
-        .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
-        .as[(Long, Long)].head()
-    }
+        .select(lit(n).as("seg"), $"cnt", $"payload_len")
+    }.reduce(_.unionByName(_))
+      .groupBy($"seg")
+      .agg(coalesce(sum($"cnt"), lit(0L)), coalesce(sum($"payload_len"), lit(0L)))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val foldD = if (foldDirs.isEmpty) Map.empty[String, (Long, Long, Long)] else foldDirs.map { n =>
+      spark.read.parquet(s"$indexPath/$n/docs").select(lit(n).as("seg"), $"doc_id")
+    }.reduce(_.unionByName(_))
+      .groupBy($"seg")
+      .agg(count(lit(1)),
+        coalesce(min($"doc_id"), lit(Long.MaxValue)),
+        coalesce(max($"doc_id"), lit(Long.MinValue)))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val foldStatsByName: Map[String, SegStats] = foldDirs.map { n =>
+      val (np, pb) = foldP.getOrElse(n, (0L, 0L))
+      val (nd, lo, hi) = foldD.getOrElse(n, (0L, Long.MaxValue, Long.MinValue))
+      n -> SegStats(n, nd, lo, hi, np, pb)
+    }.toMap
     val kept = infos.filterNot(si => foldedOrds.contains(si.ord))
-    val totalPostings = kept.map(_.nPostings).sum + foldStats.map(_._1).sum
-    val totalPayload = kept.map(_.payloadBytes).sum + foldStats.map(_._2).sum
+    val totalPostings = kept.map(_.nPostings).sum + foldStatsByName.values.map(_.nPostings).sum
+    val totalPayload = kept.map(_.payloadBytes).sum + foldStatsByName.values.map(_.payloadBytes).sum
+    // manifest stats for the new segment list, in order (kept stats ride
+    // through untouched; fold dirs take the run head's slot)
+    val newSegStats = infos.flatMap { si =>
+      if (!foldedOrds.contains(si.ord)) Some(si.stats)
+      else foldNames.get(si.ord).map(foldStatsByName)
+    }
 
     // COMMIT (atomic manifest flip); nDocs/avgdl are already exact through
     // mutations, tombstones are now folded away physically. The format
@@ -433,7 +491,8 @@ object IncrementalIndex {
         totalPostings = totalPostings,
         totalPayloadBytes = totalPayload,
         segments = newSegments,
-        deleteSegments = Nil),
+        deleteSegments = Nil,
+        segStats = newSegStats),
       Map("partialCompacted" -> foldNames.values.mkString(",")))
 
     // cleanup after commit (crash here only leaves unreferenced garbage)

@@ -47,16 +47,23 @@ class HtmlNormalizerSpec extends AnyFunSuite {
     assert(n("&#x1F600;") == new String(Character.toChars(0x1F600)))
   }
 
-  test("invalid refs flush literally without re-entering states") {
+  test("invalid refs: literal flush, or state re-entry on '<'/'&' (reference fallthrough)") {
     assert(n("&#12a;") == "&#12a;") // stray letter in decimal
     assert(n("&#xZZ;") == "&#xZZ;")
     assert(n("&a b") == "&a b") // space aborts the ref, stays literal
-    // the aborting '<' is written as literal text, NOT a tag start
-    assert(n("&a<b;") == "&a<b;")
     // '#' not directly after '&' aborts
     assert(n("&a#b;") == "&a#b;")
-    // second '&' does not restart a reference
-    assert(n("&&amp;") == "&&amp;")
+    // the reference's IN_CHAR_REF case falls through into the default
+    // handler (normalizer.c:6293-6310): '<' under remove_tag DROPS the
+    // pending ref and opens a tag...
+    assert(n("a&b<c>d") == "ad")
+    // ...unless remove_tag is off, in which case '<' is an ordinary
+    // non-name char and the run flushes literally
+    assert(HtmlNormalizer.normalize("a&b<c>d",
+      Options(removeTag = false)) == "a&b<c>d")
+    // '&' under expand drops the pending ref and RESTARTS a reference
+    assert(n("&&amp;") == "&")
+    assert(n("&x&y&amp;z") == "&z")
   }
 
   test("unterminated tag and unterminated ref at EOF are dropped") {

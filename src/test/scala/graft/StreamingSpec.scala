@@ -232,6 +232,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(pc.postings.count() > 0)
   }
 
+  test("manifest segment stats: zero footer reads on stats-bearing manifests, footer fallback on legacy") {
+    val p = s"$tmp/idx-segstats"
+    val all = WebCorpus.generate(spark, nBase + 40, 4)
+    IndexBuilder.build(spark, all.where(col("doc_id") < nBase), "doc_id", "text", p, cfg)
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id").between(nBase, nBase + 19)), "doc_id", "text", "seg-a", cfg)
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id") >= nBase + 20), "doc_id", "text", "seg-b", cfg)
+    val idx = GraftIndex(spark, p)
+
+    // stats ride every commit, aligned with the segment list, and exact
+    val ss = idx.meta.segStats
+    assert(ss.map(_.name) == Seq(".", "seg-a", "seg-b"))
+    assert(ss.map(_.nDocs).sum == idx.meta.nDocs)
+    assert(ss.map(_.nPostings).sum == idx.meta.totalPostings)
+    assert(ss(1).minDoc == nBase && ss(1).maxDoc == nBase + 19)
+    assert(ss(2).minDoc == nBase + 20 && ss(2).maxDoc == nBase + 39)
+
+    // id-order fast path + partial compaction consume the MANIFEST stats:
+    // zero parquet-footer opens (the legacy path was O(segment files) of
+    // driver-sequential metadata IO per handle)
+    val before = GraftIndex.footerReads.get()
+    assert(idx.idOrderScan(10).collect().map(_.getLong(0)).toSeq == (0L until 10L).toSeq)
+    IncrementalIndex.delete(spark, p, Seq(nBase + 3L))
+    val pc = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
+    assert(GraftIndex.footerReads.get() == before,
+      "stats-bearing manifest must serve doc ranges without footer IO")
+    assert(pc.meta.segStats.map(_.name) == pc.meta.segments)
+    assert(pc.meta.segStats.map(_.nPostings).sum == pc.meta.totalPostings)
+    assert(pc.meta.segStats.map(_.nDocs).sum == pc.meta.nDocs)
+
+    // LEGACY manifest (no segStats): reader falls back to parquet footers
+    // and still answers identically
+    val mf = new java.io.File(p).listFiles()
+      .filter(_.getName.matches("manifest-\\d+\\.json")).maxBy(_.getName)
+    val j = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8"))
+    val stripped = j.removeField { case (k, _) => k == "segStats" }
+    java.nio.file.Files.write(mf.toPath,
+      org.json4s.jackson.JsonMethods.pretty(stripped).getBytes("UTF-8"))
+    // drop Hadoop LocalFileSystem's checksum sidecar for the edited file
+    new java.io.File(mf.getParent, s".${mf.getName}.crc").delete()
+    val legacy = GraftIndex(spark, p)
+    assert(legacy.meta.segStats.isEmpty)
+    val fBefore = GraftIndex.footerReads.get()
+    assert(legacy.idOrderScan(10).collect().map(_.getLong(0)).toSeq == (0L until 10L).toSeq)
+    assert(GraftIndex.footerReads.get() > fBefore,
+      "legacy manifest must validate via footer stats")
+  }
+
   test("upsert replaces a doc under the SAME id; state survives compact") {
     val idxPath = s"$tmp/idx"
     val term = topTerms.head
