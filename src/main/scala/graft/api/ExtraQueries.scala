@@ -309,6 +309,30 @@ object ExtraQueries {
       |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
       |WHERE d.n_chars < 400 ORDER BY d.doc_id""".stripMargin
 
+  /** query_parallel_or(match_columns, q1, q2, ...)
+    * (/root/reference/lib/proc/proc_query.cpp:1170-1240): several query
+    * strings OR'd in one call. The legs fold into ONE OR tree and one
+    * kernel pass — the reference's thread-pool parallelism is Spark task
+    * parallelism here (see Select.queryParallelOr). */
+  def queryParallelOr(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    graft.operators.Select.queryParallelOr(
+        Tables.table(spark, dir, "documents"), idx,
+        Seq("spark +join", "filter +merge"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val queryParallelOrSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |m1 AS (SELECT doc_id FROM toks WHERE term IN ('spark','join')
+      |       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |m2 AS (SELECT doc_id FROM toks WHERE term IN ('filter','merge')
+      |       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |m AS (SELECT doc_id FROM m1 UNION SELECT doc_id FROM m2)
+      |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** TERM_EXTRACT: dictionary terms found as substrings of a target string
     * (lib/grn_ii.h:234 GRN_OP_TERM_EXTRACT; tag-extraction use case). */
   def termExtract(spark: SparkSession, dir: String): DataFrame =
@@ -768,7 +792,55 @@ object ExtraQueries {
       |   OR (source LIKE 'src1%' AND n_chars % 2 = 0 AND NOT lang = 'zh')
       |ORDER BY doc_id""".stripMargin
 
+  /** string_* named procs (/root/reference/plugins/functions/string.c) with
+    * groonga's character-unit semantics: length, substring (incl. the
+    * negative-from modulo wrap, to-end length, out-of-range default),
+    * Rails-style truncate (incl. the omission-longer-than-length edge),
+    * numeric + regexp slice (named group resolved to its index), and
+    * tokenize-to-vector. The corpus slice is all-ASCII (checked against
+    * the generator), so the DuckDB mirror can use lower()/split. */
+  def stringProcs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringProcs._
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        stringLength(col("text")).as("len_chars"),
+        stringSubstring(col("text"), lit(5), lit(12)).as("sub_a"),
+        stringSubstring(col("text"), lit(-7), lit(-1)).as("sub_neg"),
+        stringSubstring(col("text"), lit(100000), lit(5), lit("(none)")).as("sub_oob"),
+        stringTruncate(col("text"), lit(20)).as("trunc"),
+        stringTruncate(col("text"), lit(2)).as("trunc_tiny"),
+        stringTruncate(col("text"), lit(24), lit("…")).as("trunc_om"),
+        stringSlice(col("text"), lit(3)).as("slice_one"),
+        stringSliceRegexp(col("text"), "(?<w1>[a-z]+) (?<w2>[a-z]+)", "w2",
+          lit("-")).as("slice_re"),
+        array_join(stringTokenize(col("text"), "TokenBigram"), "|").as("toks"))
+      .orderBy("doc_id")
+  }
+
+  val stringProcsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS len_chars,
+      |  substring(text, 6, 12) AS sub_a,
+      |  CASE WHEN length(text) = 0 THEN '' ELSE
+      |    substring(text, ((-7 % greatest(length(text),1)) + greatest(length(text),1))
+      |      % greatest(length(text),1) + 1) END AS sub_neg,
+      |  CASE WHEN length(text) > 100000 THEN substring(text, 100001, 5)
+      |       ELSE '(none)' END AS sub_oob,
+      |  CASE WHEN length(text) <= 20 THEN text
+      |       ELSE substring(text, 1, 17) || '...' END AS trunc,
+      |  CASE WHEN length(text) <= 2 THEN text ELSE '...' END AS trunc_tiny,
+      |  CASE WHEN length(text) <= 24 THEN text
+      |       ELSE substring(text, 1, 23) || '…' END AS trunc_om,
+      |  substring(text, 4, 1) AS slice_one,
+      |  CASE WHEN regexp_matches(text, '([a-z]+) ([a-z]+)')
+      |       THEN regexp_extract(text, '([a-z]+) ([a-z]+)', 2) ELSE '-' END AS slice_re,
+      |  array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> ''), '|') AS toks
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_procs" -> stringProcs,
     "select_filter_script" -> selectFilterScript,
     "normalize_cmd" -> normalizeCmd,
     "ft_query_syntax" -> querySyntax,
@@ -797,6 +869,7 @@ object ExtraQueries {
     "json_extract" -> jsonExtract,
     "doc_vectors_bm25" -> docVectorsBm25,
     "ft_sql_match" -> sqlMatch,
+    "ft_query_parallel_or" -> queryParallelOr,
     "snippet_html" -> snippetHtml,
     "table_list" -> tableListCmd,
     "column_list" -> columnListCmd,
@@ -833,9 +906,11 @@ object ExtraQueries {
     "html_untag" -> htmlUntagSql,
     "highlight_full" -> highlightFullSql,
     "normalize_html" -> normalizeHtmlSql,
+    "string_procs" -> stringProcsSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
+    "ft_query_parallel_or" -> queryParallelOrSql,
     "snippet_html" -> snippetHtmlSql,
     "ft_leading_not" -> leadingNotSql,
     "suggest_complete" -> suggestCompleteSql,

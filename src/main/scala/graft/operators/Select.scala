@@ -177,6 +177,21 @@ object Select {
       eval(idx, QueryParser.parse(query), score, Some(source)).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** `query_parallel_or("cols", q1, q2, ...)` — the reference's
+    * thread-parallel OR of several query strings
+    * (/root/reference/lib/proc/proc_query.cpp:1170-1240). Semantically it
+    * IS query() over the OR of the legs; here the legs fold into one OR
+    * tree evaluated in a single kernel pass, so the parallelism the
+    * reference gets from its thread pool is Spark's own task parallelism —
+    * no separate execution path is needed, only the API name. */
+  def queryParallelOr(source: DataFrame, idx: GraftIndex,
+      queries: Seq[String], score: ScoreMode = ScoreMode.Tf): DataFrame = {
+    require(queries.nonEmpty, "query_parallel_or needs at least one query")
+    val combined = queries.map(QueryParser.parse).reduce(QueryParser.OrQ(_, _))
+    source.join(eval(idx, combined, score, Some(source)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** Sequential text-match over candidate rows: tokenize each candidate's
     * text with the index's analyzer and score term tf exactly like the
     * kernel would — the small-result-set path of
