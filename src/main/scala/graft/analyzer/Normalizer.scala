@@ -127,6 +127,9 @@ object Normalizer {
         }
         val opts = o
         s => HtmlNormalizer.normalize(s, opts)
+      case "NormalizerTable" =>
+        val rules = TableNormalizer.parseSpecArgs(args)
+        s => TableNormalizer.normalize(s, rules)
       case other => throw new IllegalArgumentException(s"unknown normalizer: $other")
     }
   }

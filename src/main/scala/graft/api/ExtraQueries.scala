@@ -773,6 +773,28 @@ object ExtraQueries {
       |  text || ' & <tag> あA ' || chr(160) || '€ &bogus; x ' AS normalized
       |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
 
+  /** NormalizerTable (/root/reference/lib/normalizer.c:5833-5959,:6470):
+    * user-supplied substitution rules applied by greedy leftmost-longest
+    * scan. Rule keys overlap ('spark' vs 'spar' vs 'scan' vs 'sc') to
+    * exercise longest-match precedence; replacement values use an alphabet
+    * disjoint from the corpus so the DuckDB replace-chain mirror (ordered
+    * longest-first) is equivalent to the scan. */
+  def normalizeTable(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq("spark" -> "[#1]", "spar" -> "[#2]",
+      "scan" -> "[#3]", "sc" -> "[#4]")
+    graft.analyzer.TableNormalizer.normalizeColumn(
+        Tables.table(spark, dir, "documents").where(col("doc_id") < 400),
+        "doc_id", "text", rules)
+      .orderBy("doc_id")
+  }
+
+  val normalizeTableSql: String =
+    """SELECT doc_id,
+      |  replace(replace(replace(replace(text,
+      |    'spark', '[#1]'), 'spar', '[#2]'), 'scan', '[#3]'), 'sc', '[#4]')
+      |    AS normalized
+      |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+
   /** `--filter` script string (grn_ecmascript.lemon subset) compiled to a
     * Catalyst Column: between(), regexp/prefix match ops, &&/||/&!,
     * arithmetic — evaluated standalone over the source table. */
@@ -841,6 +863,7 @@ object ExtraQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_procs" -> stringProcs,
+    "normalize_table" -> normalizeTable,
     "select_filter_script" -> selectFilterScript,
     "normalize_cmd" -> normalizeCmd,
     "ft_query_syntax" -> querySyntax,
@@ -907,6 +930,7 @@ object ExtraQueries {
     "highlight_full" -> highlightFullSql,
     "normalize_html" -> normalizeHtmlSql,
     "string_procs" -> stringProcsSql,
+    "normalize_table" -> normalizeTableSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
