@@ -90,12 +90,29 @@ object Bench {
     }.sorted
     def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
 
-    // ---- sectioned-index WAND datapoint: weighted BM25 top-k over the
-    // sectioned gate index must SKIP blocks (max_gtf group-sum bounds) ----
-    val sectIdx = graft.api.Tables.documentsSectionedIndex(spark, sfDir)
+    // ---- sectioned-index WAND datapoint on the DEFAULT corpus ----
+    // The gate index's auto bucket sizing at bench SF yields one block per
+    // bucket (nothing to skip — r4's datapoint was degenerate), so build
+    // the same documents at the bucket geometry a 100-TB index has: big
+    // buckets spanning many small blocks. The query pairs the common term
+    // with the corpus's one rare term ("dup", df≈5%): once the top-10 heap
+    // fills with both-term docs, common-term blocks containing no rare-term
+    // candidate fall below the threshold and are skipped — the classic
+    // WAND shape that works even on a tf-uniform corpus.
+    val sectDir = "/tmp/graft-bench/sect-default"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(sectDir), true)
+    val sectDocs = {
+      import org.apache.spark.sql.functions._
+      graft.api.Tables.table(spark, sfDir, "documents")
+        .withColumn("title", array_join(slice(split(col("text"), " "), 1, 5), " "))
+    }
+    val sectIdx = IndexBuilder.buildSectioned(spark, sectDocs, "doc_id",
+      Seq("title", "text"), sectDir,
+      IndexConfig(tokenizer = "TokenBigram", bucketBits = 12, blockSize = 16))
     graft.query.MatchKernel.resetStats()
     val sectSec = time {
-      sectIdx.topK(sectIdx.searchTerms(Seq("window"), MatchMode.Any,
+      sectIdx.topK(sectIdx.searchTerms(Seq("window", "dup"), MatchMode.Any,
         ScoreMode.Bm25(), topK = 10,
         sectionWeights = Map("title" -> 10.0)), 10).collect()
     }

@@ -97,9 +97,42 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int])] =
     spark.sparkContext.broadcast(tombstones)
 
-  /** run the match kernel per bucket; tombstones are injected from the
-    * broadcast inside the task (the shipped `q` carries empty arrays). */
+  /** postings cap under which a query runs the kernel driver-side
+    * (spark.graft.smallQueryMaxPostings; 0 disables the fast path) */
+  @transient private lazy val smallQueryCap: Long =
+    spark.conf.getOption("spark.graft.smallQueryMaxPostings")
+      .map(_.toLong).getOrElse(GraftIndex.DefaultSmallQueryMaxPostings)
+
+  /** Run the match kernel per bucket; tombstones are injected from the
+    * broadcast inside the task (the shipped `q` carries empty arrays).
+    *
+    * SMALL-QUERY fast path: a top-k term query costs one Spark job of two
+    * stages (pruned scan → bucket shuffle → kernel) — on a warm index
+    * that is ~200 ms of scheduling for milliseconds of kernel work
+    * (groonga answers the same query in-process, lib/ii.cpp's
+    * grn_ii_select runs on the caller's thread). When the DICTIONARY
+    * stats bound the query's total posting footprint under
+    * `smallQueryCap` (known before any scan — Σ df over the resolved
+    * terms), the pruned block scan is collected (bounded: ≤ cap postings
+    * ≈ a few MB) and the SAME kernel runs per bucket on the driver; the
+    * result is a LocalRelation, so downstream top-k never launches a
+    * second stage. At web scale a common term's df blows the cap and the
+    * query takes the distributed path — the fast path is for the
+    * short-posting-list queries where scheduling dominates, and its cap
+    * makes driver memory a constant, not a function of corpus size. */
   private def runKernel(q: ResolvedQuery, blocks: Dataset[PostingBlockRow]): DataFrame = {
+    val totalDf = q.terms.iterator.map(_.df).sum
+    if (smallQueryCap > 0 && totalDf <= smallQueryCap) {
+      val (td, tg) =
+        if (deletesDf.isEmpty) (Array.emptyLongArray, Array.emptyIntArray)
+        else tombstones
+      val qq = q.copy(tombDocs = td, tombGens = tg)
+      val out = blocks.collect() // one stage, term-IN-pruned, ≤ cap postings
+        .groupBy(_.bucket).toSeq.sortBy(_._1)
+        .iterator.flatMap { case (_, rs) => MatchKernel.run(qq, rs.iterator) }
+        .toSeq
+      return spark.createDataset(out).toDF("doc_id", "score")
+    }
     val bc = if (deletesDf.isEmpty) None else Some(tombBc)
     blocks.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
@@ -572,4 +605,8 @@ object GraftIndex {
     * so tests can prove a stats-bearing manifest serves id-order scans and
     * partial compaction with ZERO per-file metadata IO */
   val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** default Σ-df cap for the driver-side small-query kernel path: ~256k
+    * postings ≈ single-digit MB of encoded blocks on the driver */
+  final val DefaultSmallQueryMaxPostings: Long = 1L << 18
 }

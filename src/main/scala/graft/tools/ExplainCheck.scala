@@ -25,6 +25,9 @@ object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // plan asserts describe the at-scale DISTRIBUTED shapes; the driver
+      // fast path would collapse small queries into a LocalRelation
+      .config("spark.graft.smallQueryMaxPostings", "0")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"

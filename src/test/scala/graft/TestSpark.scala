@@ -11,6 +11,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // specs exercise the DISTRIBUTED kernel path (every spec corpus is
+      // small enough that the driver fast path would otherwise absorb all
+      // coverage); SmallQuerySpec opts back in to test equivalence
+      .config("spark.graft.smallQueryMaxPostings", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
