@@ -773,6 +773,39 @@ object ExtraQueries {
       |  text || ' & <tag> あA ' || chr(160) || '€ &bogus; x ' AS normalized
       |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
 
+  /** `dump` command-script text form (/root/reference/lib/proc/proc_dump.c;
+    * goldens under test/command/suite/dump/): schema commands + header-row
+    * load blocks, keyed tables sorted by _key. The gate dumps the nation
+    * table; index column lines are DumpSpec territory. */
+  def dumpCmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Dump.commandScript(
+        Tables.table(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        "Nation", keyCol = Some("n_nationkey"))
+      .zipWithIndex.map { case (l, i) => (i + 1, l) }.toSeq
+      .toDF("line_no", "line")
+  }
+
+  val dumpCmdSql: String =
+    """WITH rows AS (
+      |  SELECT 7 + row_number() OVER (ORDER BY n_nationkey) AS line_no,
+      |    '[' || n_nationkey || ',' || to_json(n_name) || ',' || n_regionkey || ']' ||
+      |    CASE WHEN row_number() OVER (ORDER BY n_nationkey) =
+      |      count(*) OVER () THEN '' ELSE ',' END AS line
+      |  FROM nation),
+      |head AS (SELECT * FROM (VALUES
+      |  (1, 'table_create Nation TABLE_HASH_KEY Int32'),
+      |  (2, 'column_create Nation n_name COLUMN_SCALAR ShortText'),
+      |  (3, 'column_create Nation n_regionkey COLUMN_SCALAR Int32'),
+      |  (4, ''),
+      |  (5, 'load --table Nation'),
+      |  (6, '['),
+      |  (7, '["_key","n_name","n_regionkey"],')) t(line_no, line))
+      |SELECT CAST(line_no AS INT) AS line_no, line FROM head
+      |UNION ALL SELECT CAST(line_no AS INT), line FROM rows
+      |UNION ALL SELECT CAST((SELECT count(*) + 8 FROM nation) AS INT), ']'
+      |ORDER BY line_no""".stripMargin
+
   /** NormalizerTable (/root/reference/lib/normalizer.c:5833-5959,:6470):
     * user-supplied substitution rules applied by greedy leftmost-longest
     * scan. Rule keys overlap ('spark' vs 'spar' vs 'scan' vs 'sc') to
@@ -864,6 +897,7 @@ object ExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_procs" -> stringProcs,
     "normalize_table" -> normalizeTable,
+    "dump_cmd" -> dumpCmd,
     "select_filter_script" -> selectFilterScript,
     "normalize_cmd" -> normalizeCmd,
     "ft_query_syntax" -> querySyntax,
@@ -931,6 +965,7 @@ object ExtraQueries {
     "normalize_html" -> normalizeHtmlSql,
     "string_procs" -> stringProcsSql,
     "normalize_table" -> normalizeTableSql,
+    "dump_cmd" -> dumpCmdSql,
     "json_extract" -> jsonExtractSql,
     "doc_vectors_bm25" -> docVectorsBm25Sql,
     "ft_sql_match" -> sqlMatchSql,
