@@ -79,8 +79,12 @@ object Bench {
     val queries = Seq(
       Seq("spark", "fulltext"), Seq("inverted", "index"), Seq("crawl"),
       Seq("spark", "crawl", "lin"), Seq("block", "max", "wand"))
-    // warm-up
-    idx.topK(idx.searchTerms(queries.head, MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10).collect()
+    // warm-up: one pass over EVERY query shape (term-stat cache fill +
+    // JIT), so the distribution measures steady-state repeated-query
+    // latency rather than first-touch planning
+    queries.foreach { terms =>
+      idx.topK(idx.searchTerms(terms, MatchMode.Any, ScoreMode.Bm25(), topK = 10), 10).collect()
+    }
     val lats = (0 until 4).flatMap { _ =>
       queries.map { terms =>
         time {

@@ -375,6 +375,28 @@ object DataOpsQueries {
 
   val annIvfPqTopKSql: String = annCosineTopKSql
 
+  /** BATCH IVF+PQ: 5 query vectors, all lists probed + full-corpus rerank
+    * (exact path — the code-only ADC join, per-query column LUT, float
+    * fetch-back and double window rank verified hash-exact vs brute
+    * force; pruned-probe recall is IvfPqSpec territory). */
+  def annIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedArtifact(dir, "ivfpq-idx") { p =>
+      graft.ml.IvfPq.build(Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
+    }
+    val e = Tables.table(spark, dir, "embeddings")
+    val n = e.count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
+    graft.ml.IvfPq.searchBatch(spark, path,
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nprobe = 16, rerank = n.toInt)
+      .orderBy("qid", "rank")
+  }
+
+  // lazy: annIvfBatchSql is defined later in this object — a strict val
+  // here would capture null at init order
+  lazy val annIvfPqBatchSql: String = annIvfBatchSql
+
   /** BATCH IVF search over the persisted index: 5 query vectors probing
     * ALL lists (exact path — plumbing verified hash-exact vs brute force;
     * nprobe < nlist recall is AnnIndexSpec territory) in ONE join +
@@ -578,6 +600,7 @@ object DataOpsQueries {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
+    "ann_ivfpq_batch" -> annIvfPqBatch,
     "ann_ivf_batch" -> annIvfBatch,
     "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
@@ -602,6 +625,7 @@ object DataOpsQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
+    "ann_ivfpq_batch" -> annIvfPqBatchSql,
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,

@@ -118,6 +118,70 @@ object IvfPq {
       PqIndex.adcColumn(lut, col("code"), m, kCent).as("adc"))
   }
 
+  /** BATCH IVF+PQ search: top-k per query for a whole query TABLE.
+    * Each query expands to its nprobe nearest lists (driver holds only
+    * centroids), joins the CODE lists on list_id (one pushed-down IN over
+    * the union of probed lists — candidate rows carry m ints, never
+    * floats), scores ADC per (query, candidate) with a pure column
+    * expression over the broadcast codebook literal (the per-query lookup
+    * table becomes a slice-dot against the centroid array — no UDF),
+    * window-ranks to top-`rerank` ids per query, fetches floats ONCE for
+    * the union of candidate ids, and exact-cosine re-ranks to top-k.
+    * A million queries cost two joins and two window ranks, never a
+    * million driver jobs. `nprobe = nlist ∧ rerank ≥ corpus` is exact. */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (dim, m, kCent, _) = readMeta(spark, path)
+    val sub = dim / m
+    val cents = spark.read.parquet(s"$path/centroids").as[AnnIndex.Centroid].collect()
+    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    // centroid(s, c) at index s*kCent + c, 1-based for element_at
+    val bookLit = typedLit(
+      books.sortBy(b => (b.sub, b.cid)).map(_.centroid.toSeq).toSeq)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val nq = PqIndex.normalize(qv)
+        bcC.value.map(c => (Similarity.l2sqLocal(qv, c.centroid), c.list_id))
+          .sortBy(identity).take(nprobe)
+          .iterator.map { case (_, lid) => (qid, lid, nq.toSeq) }
+      }.toDF("qid", "list_id", "nq")
+    val touched = probes.select($"list_id").distinct().as[Int].collect().toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(touched: _*))
+    // ADC(q, code) = Σ_s dot(q_sub_s, centroid(s, code_s)) — nested
+    // higher-order functions, fully codegen'd, candidate floats untouched
+    val adc = aggregate(
+      zip_with(col("code"), sequence(lit(0), lit(m - 1)), (c, s) =>
+        aggregate(
+          zip_with(slice(col("nq"), (s * sub + 1).cast("int"), lit(sub)),
+            element_at(bookLit, (s * kCent + c + 1).cast("int")),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy($"qid").orderBy(desc("adc"), asc("vec_id"))
+    val cands = probes.join(lists, Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select($"qid", $"vec_id", adc.as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .where($"arank" <= rerank)
+      .select($"qid", $"vec_id")
+    val wCos = Window.partitionBy($"qid").orderBy(desc("cos"), asc("vec_id"))
+    cands
+      .join(spark.read.parquet(s"$path/vecs"), Seq("vec_id"))
+      .join(queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).as("qv0")), Seq("qid"))
+      .select($"qid", $"vec_id", Similarity.cosine($"vec", $"qv0").as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .where($"rank" <= k)
+      .select($"qid", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+  }
+
   /** Top-k by cosine: centroid probe → code-only ADC scan of nprobe lists →
     * top-`rerank` ids → exact cosine re-rank over floats fetched for
     * exactly those ids. `nprobe = nlist ∧ rerank ≥ corpus` degrades to

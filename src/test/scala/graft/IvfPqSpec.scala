@@ -81,6 +81,24 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!plan.contains("vec:array"), s"candidate scan projects floats:\n$plan")
   }
 
+  test("batch search at full probe is exact (raw-cosine window convention)") {
+    import spark.implicits._
+    // the batch window ranks by RAW cosine like its oracle
+    // (annIvfBatchSql); the single-query path ranks by the ROUNDED alias
+    // like ITS oracle — so compare batch against raw-ordered brute force
+    def bruteRaw(q: Array[Float], k: Int, exclude: Long): Seq[Long] =
+      (0L until n).filter(_ != exclude)
+        .map(id => (cos(q, vec(id)), id))
+        .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+    val qdf = Seq(3L, 14L, 101L).map(id => (id, vec(id).toSeq)).toDF("vec_id", "embedding")
+    val batch = IvfPq.searchBatch(spark, built, qdf, "vec_id", "embedding",
+        k = 5, nprobe = 12, rerank = n)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    for (qid <- Seq(3L, 14L, 101L))
+      assert(batch(qid) == bruteRaw(vec(qid), 5, qid), s"qid=$qid")
+  }
+
   test("rerank fetch touches exactly the candidate ids (isin path)") {
     // small rerank → driver collects ≤ rerank ids and the float fetch is a
     // pushed-down vec_id IN over the vec_id-sorted vecs table
