@@ -567,6 +567,94 @@ object DataOpsQueries {
     s"""SELECT doc_id, ${sqlPolyHash("text", 131)} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.table(spark, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+
+  /** same window/dup/gaps-and-islands pipeline in DuckDB: 8-token windows,
+    * duplicated = seen in >= 2 distinct docs, spans merged when the next
+    * start is within n of the previous. */
+  val dedupSubstringSql: String =
+    """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS w
+      |  FROM tl, unnest(range(1, len(toks) - 6)) AS u(i)),
+      |dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |                             -1000000) > 8 THEN 1 ELSE 0 END AS ni
+      |  FROM hits),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)
+      |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |  CAST(max(pos) + 7 AS INT) AS span_end, count(*) AS n_windows
+      |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "n")
+
+  val textRepetitionSql: String =
+    """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |              length(text) AS n_chars FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_chars, 2 AS n, array_to_string(toks[i:i+1], ' ') AS gram
+      |  FROM tl, unnest(range(1, len(toks))) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, 3, array_to_string(toks[i:i+2], ' ')
+      |  FROM tl, unnest(range(1, len(toks) - 1)) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, 4, array_to_string(toks[i:i+3], ' ')
+      |  FROM tl, unnest(range(1, len(toks) - 2)) AS u(i)),
+      |c AS (SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+      |      FROM g GROUP BY doc_id, n_chars, n, gram),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+      |        ORDER BY cnt DESC, cnt * length(gram) DESC, gram) AS rn FROM c)
+      |SELECT doc_id, n, gram AS top_gram, cnt AS top_cnt,
+      |  floor(CAST(cnt * length(gram) AS DOUBLE) / n_chars * 10000.0) / 10000.0 AS top_frac
+      |FROM r WHERE rn = 1 ORDER BY doc_id, n""".stripMargin
+
+  /** PII scrub over deterministically injected PII (the synthetic corpus
+    * carries none): emails, +CC phone shapes, IPv4 — counts + redaction. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" contact a"), col("doc_id").cast("string"),
+        lit("@mail.example.org ip 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" tel +1 202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    TextAnalysis.piiScrub(injected, "doc_id", "t").orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    // DuckDB single-quoted literals keep backslashes verbatim — embed the
+    // exact runtime pattern strings the Spark plan uses
+    val email = TextAnalysis.PiiEmail
+    val ip = TextAnalysis.PiiIp
+    val phone = TextAnalysis.PiiPhone
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    substring(text, 1, 40) || ' contact a' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.org ip 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+       |    '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+       |    ' tel +1 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
+       |FROM inj ORDER BY doc_id""".stripMargin
+  }
+
   // ---- multimodal plumbing: opaque binary + typed metadata ----
 
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
@@ -608,6 +696,9 @@ object DataOpsQueries {
     "text_quality" -> qualityQ,
     "token_count" -> tokenCountQ,
     "doc_fingerprint" -> fingerprintQ,
+    "dedup_substring" -> dedupSubstring,
+    "text_repetition" -> textRepetition,
+    "pii_scrub" -> piiScrub,
     "mm_meta" -> mmMeta)
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +724,8 @@ object DataOpsQueries {
     "text_quality" -> qualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> fingerprintSql,
+    "dedup_substring" -> dedupSubstringSql,
+    "text_repetition" -> textRepetitionSql,
+    "pii_scrub" -> piiScrubSql,
     "mm_meta" -> mmMetaSql)
 }

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -192,6 +193,52 @@ object Dedup {
       .localCheckpoint()
     banded.unpersist()
     result
+  }
+
+  /** Exact duplicated-substring spans across the corpus (the n-gram-window
+    * formulation of "deduplicating training data" span dedup): every sliding
+    * window of `n` tokens that occurs in >= `minDocs` DISTINCT documents is a
+    * duplicated window; per document, overlapping/adjacent duplicated windows
+    * are merged (gaps-and-islands over start positions) into maximal spans.
+    *
+    * Output: one row per maximal span — (doc_id, span_start, span_end,
+    * n_windows), token positions 1-based inclusive.
+    *
+    * Scale shape (100 TB): the only corpus-wide shuffle is the window
+    * groupBy (hash-partitioned, map-side combine on (window, doc) pairs);
+    * the span merge is windowed per doc_id — co-partitioned with the join
+    * that produced the hits, no second corpus-wide exchange of text. Window
+    * strings could be hashed for shuffle width; kept textual here so the
+    * DuckDB oracle replicates the exact pipeline (PolyHash would collide
+    * identically anyway). Within-doc-only repetition intentionally does NOT
+    * count as duplication (that is `TextAnalysis.repetition`'s job).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - n + 1),
+            i => struct(i.as("pos"), array_join(slice(toks, i, lit(n)), " ").as("w"))))
+          .otherwise(array())).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.w").as("w"))
+    val dup = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .where(col("ddf") >= minDocs).select("w")
+    val hits = wins.join(dup, Seq("w")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // a window starting at pos covers tokens [pos, pos+n-1]; the next start
+    // merges when it begins at or before pos+n (overlap or token-adjacent)
+    val islands = hits
+      .withColumn("ni",
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc), lit(-1000000)) > n,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
   /** simhash over word tokens weighted by tf: bit j set iff

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -139,4 +140,64 @@ object TextAnalysis {
   /** rolling-hash document fingerprint (codegen'd PolyHash expression) */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), poly_hash(col(textCol)).as("fp"))
+
+  /** Gopher-style within-document repetition metrics: for each word-n-gram
+    * size in `ns`, the most repeated n-gram and the fraction of the
+    * document's characters it occupies (count x gram chars / n_chars — the
+    * "fraction of characters contained within the most frequent n-gram"
+    * filter, made deterministic by ordering ties on (count desc, char
+    * occupancy desc, gram asc)). Long output: (doc_id, n, top_gram,
+    * top_cnt, top_frac), one row per (doc, n); docs shorter than n words
+    * yield no row for that n.
+    *
+    * Scale shape: one groupBy keyed (doc_id, n, gram) with map-side
+    * combine, then a per-(doc_id, n) window — both partitioned by doc; no
+    * corpus-wide key. floor-x1e4 rounding (not round()) so Spark and
+    * DuckDB produce identical doubles. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty, "repetition needs at least one n-gram size")
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("ts"),
+      length(col(textCol)).as("n_chars"))
+    val grams = ns.map { n =>
+      base.select(col("doc_id"), col("n_chars"), lit(n).as("n"),
+        explode(when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - n + 1),
+            i => array_join(slice(col("ts"), i, lit(n)), " ")))
+          .otherwise(array())).as("gram"))
+    }.reduce(_ union _)
+    val cnts = grams.groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDocN = Window.partitionBy("doc_id", "n")
+      .orderBy(col("cnt").desc, (col("cnt") * length(col("gram"))).desc, col("gram"))
+    cnts.withColumn("rn", row_number().over(byDocN)).where(col("rn") === 1)
+      .select(col("doc_id"), col("n"), col("gram").as("top_gram"),
+        col("cnt").as("top_cnt"),
+        (floor((col("cnt") * length(col("gram"))).cast("double") / col("n_chars")
+          * lit(10000.0)) / 10000.0).as("top_frac"))
+  }
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle — written
+    * in the Java-regex/RE2 common dialect (\b, \d, bounded repetition all
+    * mean the same thing in both engines). */
+  final val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PiiIp    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  final val PiiPhone = "\\+\\d{1,3}[ -]\\d{2,4}[ -]\\d{3,4}[ -]\\d{4}"
+
+  /** PII scrubbing for training-data pipelines: count and redact emails,
+    * phone numbers (+CC ddd-ddd-dddd shapes), and IPv4 literals. Pure
+    * codegen'd projection — regexp_count + chained regexp_replace, no
+    * shuffle, no UDF. Email is replaced first (it contains dots/digits),
+    * then phones (no dots — cannot collide with IPv4), then IPs. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(PiiEmail)).as("n_emails"),
+      regexp_count(col(textCol), lit(PiiPhone)).as("n_phones"),
+      regexp_count(col(textCol), lit(PiiIp)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+          PiiPhone, "<PHONE>"),
+        PiiIp, "<IP>").as("scrubbed"))
 }

@@ -124,4 +124,57 @@ class DataOpsSpec extends AnyFunSuite {
     // ceil(4/4)=1, ceil(8/4)=2, ceil(2/4)=1
     assert(got == ((1L, 3, 1L + 2L + 1L)))
   }
+
+  test("duplicated spans: cross-doc windows merge into maximal spans; " +
+       "within-doc repeats and short docs don't count") {
+    def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9" // 10 tokens: 3 overlapping 8-windows
+    val docs = Seq(
+      (1L, words("a", 5) + " " + shared + " " + words("b", 5)),   // span at 6..15
+      (2L, shared + " " + words("c", 12)),                        // span at 1..10
+      // doc 3: a window repeated WITHIN one doc only — not duplicated
+      (3L, words("d", 8) + " z " + words("d", 8)),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set((1L, 6, 15, 3L), (2L, 1, 10, 3L)))
+  }
+
+  test("duplicated spans: gap greater than n splits islands, gap = n merges") {
+    // docs 1/2 share two 8-token runs; in doc 1 the runs are 20 tokens apart
+    // (split), in doc 2 they are contiguous (merged with the filler absent)
+    val run1 = (0 until 8).map(i => s"p$i").mkString(" ")
+    val run2 = (0 until 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, run1 + " " + (0 until 20).map(i => s"f$i").mkString(" ") + " " + run2),
+      (2L, run1 + " " + run2)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 1: two islands (starts 1 and 29); doc 2: starts 1 and 9 — the gap
+    // is exactly n so the token ranges touch and merge into one span 1..16
+    assert(got == Set((1L, 1, 8), (1L, 29, 36), (2L, 1, 16)))
+  }
+
+  test("repetition: top n-gram by count with deterministic tie-break") {
+    val df = Seq((1L, "x y x y x y long unique tail words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df, "doc_id", "text", ns = Seq(2))
+      .select("n", "top_gram", "top_cnt", "top_frac")
+      .as[(Int, String, Long, Double)].collect().head
+    // bigrams: "x y" x3, "y x" x2 → top is ("x y", 3); chars = 3*3=9 of 39
+    assert(got._1 == 2 && got._2 == "x y" && got._3 == 3L)
+    assert(got._4 == math.floor(9.0 / 39.0 * 10000) / 10000.0)
+  }
+
+  test("pii scrub: counts and redacts emails, phones, IPv4") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com and carol@ex.org tel +44 020-7946-0958 host 192.168.0.1 done"),
+      (2L, "no pii here just words")).toDF("doc_id", "t")
+    val got = TextAnalysis.piiScrub(df, "doc_id", "t")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, 1, 1,
+      "mail <EMAIL> and <EMAIL> tel <PHONE> host <IP> done")))
+    assert(got(1) == ((2L, 0, 0, 0, "no pii here just words")))
+  }
 }
