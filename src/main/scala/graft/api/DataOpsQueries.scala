@@ -499,6 +499,16 @@ object DataOpsQueries {
       |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (a, b) -> a + b), 4) + 0.0 AS d_l2sq
       |FROM embeddings CROSS JOIN q ORDER BY vec_id""".stripMargin
 
+  /** deterministic integer-lattice k-means over the embeddings table:
+    * k=8, 2 Lloyd iterations, thousandths lattice — document clustering
+    * for topic balancing. Exact-match oracle (all-int64 arithmetic). */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.KMeans.cluster(Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  val kmeansClustersSql: String = graft.ml.KMeans.oracleSql(k = 8, iters = 2, dims = 64)
+
   // ---- text analysis ----
 
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
@@ -692,6 +702,7 @@ object DataOpsQueries {
     "ann_ivf_batch" -> annIvfBatch,
     "ann_batch_topk" -> annBatchTopK,
     "vector_distances" -> vectorDistances,
+    "kmeans_clusters" -> kmeansClusters,
     "lang_id" -> langIdQ,
     "text_quality" -> qualityQ,
     "token_count" -> tokenCountQ,
@@ -720,6 +731,7 @@ object DataOpsQueries {
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_batch_topk" -> annBatchTopKSql,
     "vector_distances" -> vectorDistancesSql,
+    "kmeans_clusters" -> kmeansClustersSql,
     "lang_id" -> langIdSql,
     "text_quality" -> qualitySql,
     "token_count" -> tokenCountSql,

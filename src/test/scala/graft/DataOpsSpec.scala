@@ -167,6 +167,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got._4 == math.floor(9.0 / 39.0 * 10000) / 10000.0)
   }
 
+  test("kmeans: separates two obvious blobs, deterministic assignment") {
+    // two blobs around (0.4, ...) and (-0.4, ...); 0.01 steps so the seed
+    // vectors stay distinct on the thousandths lattice (0.001f steps would
+    // quantize ids 0 and 1 to the SAME point and the empty seed would drop)
+    val pts = (0L until 10L).map { i =>
+      val sign = if (i < 5) 1.0f else -1.0f
+      (i, Array.fill(4)(sign * (0.4f + 0.01f * i)).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.ml.KMeans.cluster(df, "vec_id", "embedding", k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // vec 0 and 1 seed the two centroids; after 2 iterations the blobs
+    // separate: ids 0-4 in one cluster, 5-9 in the other
+    assert((0L until 5L).map(got).toSet.size == 1)
+    assert((5L until 10L).map(got).toSet.size == 1)
+    assert(got(0L) != got(9L))
+  }
+
   test("pii scrub: counts and redacts emails, phones, IPv4") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.com and carol@ex.org tel +44 020-7946-0958 host 192.168.0.1 done"),
