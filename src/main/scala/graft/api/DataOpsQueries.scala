@@ -41,11 +41,12 @@ object DataOpsQueries {
 
   /** shared oracle CTE: distinct word-3-gram shingles per doc */
   private val ShingleProlog: String =
-    """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-      |       FROM tl, unnest(range(1, len(toks) - 1)) AS u(i)),
-      |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)
-      |""".stripMargin
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shs AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |        FROM tl, unnest(range(1, len(toks) - 1)) AS u(i)),
+       |sh AS (SELECT DISTINCT doc_id, ${sqlPolyHash("shingle", 31)} AS h FROM shs),
+       |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)
+       |""".stripMargin
 
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
@@ -53,11 +54,11 @@ object DataOpsQueries {
       .orderBy("doc_a", "doc_b")
 
   val dedupJaccardSql: String = ShingleProlog +
-    """, common AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-      |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN common USING (shingle)),
+    """, common AS (SELECT h FROM sh GROUP BY 1 HAVING count(*) <= 100),
+      |f AS (SELECT sh.doc_id, sh.h FROM sh JOIN common USING (h)),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-      |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  round(CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m), 4) AS jaccard
@@ -71,11 +72,10 @@ object DataOpsQueries {
       .orderBy("doc_a", "doc_b")
 
   val dedupMinhashLshSql: String = ShingleProlog +
-    s""", hh AS (SELECT doc_id, shingle, ${sqlPolyHash("shingle", 31)} AS h FROM sh),
-       |mh AS (
+    s""", mh AS (
        |  SELECT doc_id, i,
        |    min(((2 * i + 1) * h + 12345 * i + 7) % 1000000007) AS v
-       |  FROM hh, unnest(range(0, 16)) AS u(i) GROUP BY 1, 2),
+       |  FROM sh, unnest(range(0, 16)) AS u(i) GROUP BY 1, 2),
        |bandkey AS (
        |  SELECT doc_id, CAST(i / 4 AS INT) AS band,
        |    list_reduce(list(v ORDER BY i), (a, b) -> a * 31 + b) AS key
@@ -89,7 +89,7 @@ object DataOpsQueries {
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS m
        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m), 4) AS jaccard
@@ -683,6 +683,51 @@ object DataOpsQueries {
       |  CAST(length(regexp_replace(text, '[^a-m]', '', 'g')) AS INT) AS am_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL PNG round-trip: synthesize a deterministic 8x8 grayscale PNG per
+    * doc executor-side, decode it with the JDK's ImageIO in the batched
+    * kernel, report decoded shape + mean gray. PNG is lossless and 64 is a
+    * power of two, so the oracle computes the SAME doubles analytically. */
+  def mmDecodeImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.mm.Multimodal
+    val bin = Tables.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
+      .toDF("doc_id", "png")
+    Multimodal.withImageDecode(bin, "png")
+      .select(col("doc_id"), col("image.width").as("width"),
+        col("image.height").as("height"), col("image.avg_gray").as("avg_gray"))
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeImageSql: String =
+    """SELECT doc_id, 8 AS width, 8 AS height,
+      |  CAST(sum((doc_id * 31 + u.i) % 256) AS DOUBLE) / 64 AS avg_gray
+      |FROM documents, unnest(range(0, 64)) AS u(i)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** REAL WAV/RIFF round-trip: deterministic mono 16-bit PCM payload per
+    * doc, parsed back by walking the RIFF chunks; abs-sum of samples is an
+    * exact long the oracle replays from the sample formula. */
+  def mmDecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.mm.Multimodal
+    val bin = Tables.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
+      .toDF("doc_id", "wav")
+    Multimodal.withWavDecode(bin, "wav")
+      .select(col("doc_id"), col("audio.sample_rate").as("sample_rate"),
+        col("audio.channels").as("channels"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.abs_sum").as("abs_sum"))
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeWavSql: String =
+    """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 256 AS n_samples,
+      |  CAST(sum(abs((doc_id * 7 + u.i * 13) % 65536 - 32768)) AS BIGINT) AS abs_sum
+      |FROM documents, unnest(range(0, 256)) AS u(i)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
@@ -710,7 +755,9 @@ object DataOpsQueries {
     "dedup_substring" -> dedupSubstring,
     "text_repetition" -> textRepetition,
     "pii_scrub" -> piiScrub,
-    "mm_meta" -> mmMeta)
+    "mm_meta" -> mmMeta,
+    "mm_decode_image" -> mmDecodeImage,
+    "mm_decode_wav" -> mmDecodeWav)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -739,5 +786,7 @@ object DataOpsQueries {
     "dedup_substring" -> dedupSubstringSql,
     "text_repetition" -> textRepetitionSql,
     "pii_scrub" -> piiScrubSql,
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_decode_image" -> mmDecodeImageSql,
+    "mm_decode_wav" -> mmDecodeWavSql)
 }

@@ -395,6 +395,44 @@ object RelationalQueries {
       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tl
       |ORDER BY doc_id LIMIT 25""".stripMargin
 
+  /** pluggable sorter proc (lib/sorter.c:72-199): an arbitrary script
+    * expression as the sort key — compiled by ScriptParser to a native
+    * Column, descending, doc_id tiebreak (grn sort-key "-proc(...), +_id"). */
+  def sorterProc(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.query.ScriptParser.compile("n_chars % 97 + doc_id % 3")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), key.cast("long").as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(30)
+  }
+
+  val sorterProcSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(n_chars % 97 + doc_id % 3 AS BIGINT) AS skey
+      |FROM documents ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin
+
+  /** native set operators over id sets (SURVEY §2.8: union/intersect/except
+    * exposed as table operators, not just result-set fold) */
+  def setopsNative(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val a = d.where(col("lang") === "en").select("doc_id")
+    val b = d.where(col("n_chars") > 400).select("doc_id")
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .union(a.except(b).withColumn("op", lit("except")))
+      .union(a.union(b).distinct().withColumn("op", lit("union")))
+      .orderBy("op", "doc_id")
+  }
+
+  val setopsNativeSql: String =
+    """WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |b AS (SELECT doc_id FROM documents WHERE n_chars > 400)
+      |SELECT doc_id, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT doc_id, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT doc_id, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |ORDER BY op, doc_id""".stripMargin
+
   /** remaining vector_* procs (plugins/functions/vector.c: vector_slice,
     * vector_new, vector_find, vector_join; vector_size is in vector_fns) */
   def vectorOps(spark: SparkSession, dir: String): DataFrame =
@@ -482,6 +520,8 @@ object RelationalQueries {
     "time_classify" -> timeClassify,
     "dynamic_column_initial" -> dynamicColumnInitial,
     "sort_index_order" -> sortIndexOrder,
+    "sorter_proc" -> sorterProc,
+    "setops_native" -> setopsNative,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
     "drilldown_nested" -> drilldownNested,
@@ -506,6 +546,8 @@ object RelationalQueries {
     "time_classify" -> timeClassifySql,
     "dynamic_column_initial" -> dynamicColumnInitialSql,
     "sort_index_order" -> sortIndexOrderSql,
+    "sorter_proc" -> sorterProcSql,
+    "setops_native" -> setopsNativeSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
     "drilldown_nested" -> drilldownNestedSql,

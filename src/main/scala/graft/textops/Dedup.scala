@@ -39,7 +39,13 @@ object Dedup {
   /** distinct word n-gram shingles per doc: (id, shingle). Docs shorter than
     * `n` tokens yield no shingles (guarded: sequence(0, size-n) would emit a
     * descending range and slice() would throw for them). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
+
+  /** non-distinct shingle stream — callers that key on the shingle HASH
+    * dedup after hashing so the corpus-wide shuffle carries 8-byte longs,
+    * not shingle strings */
+  private def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     docs
       .select(col(idCol).as("id"),
@@ -47,24 +53,35 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - n),
             i => array_join(slice(toks, i + 1, lit(n)), " ")))
           .otherwise(array())).as("shingle"))
-      .distinct()
   }
 
+  /** distinct hashed shingles per doc: (id, h). The map-side projection
+    * hashes each shingle before ANY exchange, so the distinct and every
+    * downstream join/groupBy shuffles fixed-width longs — at 100 TB this
+    * is ~3x less shuffle IO than keying on the strings. PolyHash mod
+    * 1e9+7: collisions are vanishingly rare and, because the DuckDB
+    * oracles replay the same hash, engine-identical. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n)
+      .select(col("id"), shingle_hash(col("shingle")).as("h"))
+      .distinct()
+
   /** exact n-gram Jaccard near-dup pairs: candidates blocked by shared
-    * shingle (df-capped to bound join fanout on boilerplate shingles),
-    * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. */
+    * shingle hash (df-capped to bound join fanout on boilerplate shingles),
+    * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. All keying is on the
+    * 8-byte shingle hash (see hashedShingles). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 100): DataFrame = {
     // shingle set feeds 4 plan branches (df cap, both join sides, sizes):
     // persist so the self-join doesn't recompute the lineage per branch
-    val sh = shingles(docs, idCol, textCol, n).persist()
-    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-      .where(col("sdf") <= maxShingleDf).select("shingle")
-    val filtered = sh.join(common, Seq("shingle"))
+    val sh = hashedShingles(docs, idCol, textCol, n).persist()
+    val common = sh.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
+      .where(col("sdf") <= maxShingleDf).select("h")
+    val filtered = sh.join(common, Seq("h"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
-    val a = filtered.select(col("id").as("doc_a"), col("shingle"))
-    val b = filtered.select(col("id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val a = filtered.select(col("id").as("doc_a"), col("h"))
+    val b = filtered.select(col("id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
     val result = inter
@@ -92,26 +109,25 @@ object Dedup {
     * H via the affine family h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16): DataFrame =
-    minhashAgg(
-      shingles(docs, idCol, textCol, n).withColumn("h", shingle_hash(col("shingle"))),
-      numHashes)
+    minhashAgg(hashedShingles(docs, idCol, textCol, n), numHashes)
 
   /** minhash-LSH near-dup candidate pairs, verified by exact Jaccard.
     *
-    * Scale shape: ONE persisted shingle DF feeds both the signature pass and
-    * the verification join; band keys are a single long (arithmetic fold of
-    * the band's minhash values, no string building in the shuffle); band
-    * buckets larger than `maxBandDf` members are dropped before the
-    * self-join (a boilerplate-heavy band key would otherwise go O(m²) —
-    * mirror of jaccardPairs' maxShingleDf cap); verification joins on
-    * (doc, shingle) composite keys, never a per-pair shingle cross product.
+    * Scale shape: ONE persisted HASHED shingle DF (8-byte keys, see
+    * hashedShingles) feeds both the signature pass and the verification
+    * join; band keys are a single long (arithmetic fold of the band's
+    * minhash values, no string building in the shuffle); band buckets
+    * larger than `maxBandDf` members are dropped before the self-join (a
+    * boilerplate-heavy band key would otherwise go O(m²) — mirror of
+    * jaccardPairs' maxShingleDf cap); verification joins on (doc, h)
+    * composite keys, never a per-pair shingle cross product.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
       maxBandDf: Int = 256): DataFrame = {
     val numHashes = bands * rows
-    val sh = shingles(docs, idCol, textCol, n).persist()
-    val mh = minhashAgg(sh.withColumn("h", shingle_hash(col("shingle"))), numHashes)
+    val sh = hashedShingles(docs, idCol, textCol, n).persist()
+    val mh = minhashAgg(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val key = (0 until rows).map(r => col(s"mh${b * rows + r}"))
         .reduceLeft((a, c) => a * lit(31L) + c) // values < P=1e9+7: fits a long
@@ -129,10 +145,10 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
-    // |A∩B| per candidate: equi-join on (doc, shingle), no shingle cross join
+    // |A∩B| per candidate: equi-join on (doc, h), no shingle cross join
     val inter = cands
-      .join(sh.select(col("id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
     val result = inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))

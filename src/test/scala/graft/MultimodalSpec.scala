@@ -22,6 +22,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.length == 32)
   }
 
+  test("REAL png round-trip: ImageIO decode returns the synthesized pixels") {
+    val seed = 57L
+    val png = Multimodal.synthPng(seed)
+    // PNG magic bytes prove a real encoder ran
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val Some((w, h, avg)) = Multimodal.decodeImage(png)
+    val want = (0 until 64).map(i => (seed * 31 + i) % 256).sum.toDouble / 64
+    assert(w == 8 && h == 8 && avg == want)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("REAL wav round-trip: RIFF chunk walk recovers rate/samples/abs-sum") {
+    val seed = 3L
+    val wav = Multimodal.synthWav(seed, nSamples = 100, sampleRate = 16000)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    val Some((rate, ch, n, s)) = Multimodal.decodeWav(wav)
+    val want = (0 until 100).map(i => math.abs((seed * 7 + i * 13) % 65536 - 32768)).sum
+    assert(rate == 16000 && ch == 1 && n == 100 && s == want)
+    assert(Multimodal.decodeWav(Array.fill[Byte](60)(1)).isEmpty)
+  }
+
   test("frame sampling: n evenly spaced windows") {
     val frames = Multimodal.frameSampleStub((0 until 100).map(_.toByte).toArray, 4, 8)
     assert(frames.length == 4)
