@@ -722,6 +722,32 @@ object DataOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** benchmark decontamination: eval set = every 19th doc (deterministic,
+    * no external data), 3-gram overlap, contaminated at >= 5 distinct
+    * matches — on this vocab that splits the corpus non-degenerately. */
+  def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    Dedup.decontaminate(
+      d.where(col("doc_id") % 19 =!= 0), d.where(col("doc_id") % 19 === 0),
+      "doc_id", "text", n = 3, minMatches = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shs AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |        FROM tl, unnest(range(1, len(toks) - 1)) AS u(i)),
+       |sh AS (SELECT DISTINCT doc_id, ${sqlPolyHash("shingle", 31)} AS h FROM shs),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 19 = 0),
+       |m AS (SELECT doc_id, count(*) AS matched_ngrams
+       |      FROM sh JOIN ev USING (h) WHERE doc_id % 19 <> 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(m.matched_ngrams, 0) AS BIGINT) AS matched_ngrams,
+       |  coalesce(m.matched_ngrams, 0) >= 5 AS contaminated
+       |FROM documents d LEFT JOIN m USING (doc_id)
+       |WHERE d.doc_id % 19 <> 0 ORDER BY d.doc_id""".stripMargin
+
   val mmDecodeWavSql: String =
     """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 256 AS n_samples,
       |  CAST(sum(abs((doc_id * 7 + u.i * 13) % 65536 - 32768)) AS BIGINT) AS abs_sum
@@ -757,7 +783,8 @@ object DataOpsQueries {
     "pii_scrub" -> piiScrub,
     "mm_meta" -> mmMeta,
     "mm_decode_image" -> mmDecodeImage,
-    "mm_decode_wav" -> mmDecodeWav)
+    "mm_decode_wav" -> mmDecodeWav,
+    "decontaminate" -> decontaminateQ)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -788,5 +815,6 @@ object DataOpsQueries {
     "pii_scrub" -> piiScrubSql,
     "mm_meta" -> mmMetaSql,
     "mm_decode_image" -> mmDecodeImageSql,
-    "mm_decode_wav" -> mmDecodeWavSql)
+    "mm_decode_wav" -> mmDecodeWavSql,
+    "decontaminate" -> decontaminateSql)
 }

@@ -66,6 +66,31 @@ object Dedup {
       .select(col("id"), shingle_hash(col("shingle")).as("h"))
       .distinct()
 
+  /** Benchmark decontamination (the GPT-3/Gopher/Llama recipe, public
+    * literature): flag training docs that share >= `minMatches` distinct
+    * word n-grams with an evaluation set.
+    *
+    * Scale shape: the eval side collapses to a DISTINCT hashed-n-gram set —
+    * eval suites are 1e4..1e6 n-grams, i.e. a few MB of longs, so it is
+    * BROADCAST and the 100-TB training corpus is scanned exactly once with
+    * a map-side semi-join (no corpus-wide exchange at all); only matched
+    * (id, h) survivors — a tiny fraction — reach the per-doc count groupBy.
+    * Output: (id, matched_ngrams, contaminated) one row per training doc.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minMatches: Int = 1): DataFrame = {
+    val evalGrams = hashedShingles(evalDocs, idCol, textCol, n).select("h").distinct()
+    // hashedShingles is distinct per (id, h): count(1) = distinct matches
+    val counts = hashedShingles(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("matched_ngrams"))
+    train.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
+        (coalesce(col("matched_ngrams"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
   /** exact n-gram Jaccard near-dup pairs: candidates blocked by shared
     * shingle hash (df-capped to bound join fanout on boilerplate shingles),
     * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. All keying is on the

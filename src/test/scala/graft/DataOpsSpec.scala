@@ -42,6 +42,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decontaminate: planted eval overlap flagged, clean docs zero") {
+    val evalDocs = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "two plus two equals four in base ten")).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim leak of eval doc 100 inside a longer doc: 6 shared 3-grams
+      (1L, "prefix words what is the capital of france paris obviously suffix"),
+      // partial leak: exactly one shared 3-gram ("two plus two")
+      (2L, "two plus two unrelated tail of words here now"),
+      (3L, "completely disjoint training document about spark shuffles")
+    ).toDF("doc_id", "text")
+    val got = graft.textops.Dedup
+      .decontaminate(train, evalDocs, "doc_id", "text", n = 3, minMatches = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(got(0)._2 == 6 && got(1)._2 == 1 && got(2)._2 == 0)
+  }
+
   test("minhash LSH finds the same near-dup pairs as exact jaccard (high sim)") {
     val docs = (0L until 40L).map { i =>
       val base = s"w$i x$i y$i " + (0 until 20).map(j => s"t${(i * 7 + j) % 50}").mkString(" ")
