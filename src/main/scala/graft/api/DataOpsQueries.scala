@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.Similarity
-import graft.textops.{Dedup, TextAnalysis}
+import graft.textops.{Dedup, Mixing, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal plumbing) as correctness-gate queries. Every step that hashes
@@ -748,6 +748,43 @@ object DataOpsQueries {
        |FROM documents d LEFT JOIN m USING (doc_id)
        |WHERE d.doc_id % 19 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** deterministic training-mix sampling: per-source keep rate = 5 x the
+    * numeric source suffix (0%..95%), keep decision a pure LCG of doc_id
+    * (zero shuffle, re-derivable — see Mixing.mixSample). */
+  def mixSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Mixing.mixSample(Tables.table(spark, dir, "documents"), "doc_id",
+        expr("CAST(substring(source, 4) AS INT) * 5"))
+      .select("doc_id", "source", "rate")
+      .orderBy("doc_id")
+
+  val mixSampleSql: String =
+    """SELECT doc_id, source,
+      |  CAST(CAST(substr(source, 4) AS INT) * 5 AS BIGINT) AS rate
+      |FROM documents
+      |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
+      |      < CAST(substr(source, 4) AS INT) * 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** concat-and-chunk sequence packing into 2048-token context windows via
+    * the distributed prefix-sum (see Mixing.seqPack — no one-partition
+    * global window); the oracle replays the equivalent global cumsum. */
+  def seqPackQ(spark: SparkSession, dir: String): DataFrame =
+    Mixing.seqPack(Tables.table(spark, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), budget = 2048L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val seqPackSql: String =
+    """WITH tl AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+      |c AS (SELECT doc_id, n_toks,
+      |  coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM tl)
+      |SELECT doc_id, n_toks, CAST(cb // 2048 AS BIGINT) AS bin,
+      |  CAST(cb % 2048 AS BIGINT) AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val mmDecodeWavSql: String =
     """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 256 AS n_samples,
       |  CAST(sum(abs((doc_id * 7 + u.i * 13) % 65536 - 32768)) AS BIGINT) AS abs_sum
@@ -784,7 +821,9 @@ object DataOpsQueries {
     "mm_meta" -> mmMeta,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_wav" -> mmDecodeWav,
-    "decontaminate" -> decontaminateQ)
+    "decontaminate" -> decontaminateQ,
+    "mix_sample" -> mixSampleQ,
+    "seq_pack" -> seqPackQ)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -816,5 +855,7 @@ object DataOpsQueries {
     "mm_meta" -> mmMetaSql,
     "mm_decode_image" -> mmDecodeImageSql,
     "mm_decode_wav" -> mmDecodeWavSql,
-    "decontaminate" -> decontaminateSql)
+    "decontaminate" -> decontaminateSql,
+    "mix_sample" -> mixSampleSql,
+    "seq_pack" -> seqPackSql)
 }

@@ -433,6 +433,29 @@ object RelationalQueries {
       |SELECT doc_id, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
       |ORDER BY op, doc_id""".stripMargin
 
+  /** co-located join via native bucketing (sources.BucketedTables): both
+    * sides written bucketed+sorted on doc_id, joined with zero Exchange
+    * (ExplainCheck rule 9 asserts the shuffle-free plan); the oracle
+    * replays the equivalent plain join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BucketedTables
+    val d = t(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bkjoin").toString
+    BucketedTables.writeBucketed(d.select("doc_id", "lang", "n_chars"),
+      "graft_bk_meta", 8, "doc_id", s"$base/meta")
+    BucketedTables.writeBucketed(
+      d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")),
+      "graft_bk_toks", 8, "doc_id", s"$base/toks")
+    BucketedTables.colocatedJoin(spark, "graft_bk_meta", "graft_bk_toks", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** remaining vector_* procs (plugins/functions/vector.c: vector_slice,
     * vector_new, vector_find, vector_join; vector_size is in vector_fns) */
   def vectorOps(spark: SparkSession, dir: String): DataFrame =
@@ -522,6 +545,7 @@ object RelationalQueries {
     "sort_index_order" -> sortIndexOrder,
     "sorter_proc" -> sorterProc,
     "setops_native" -> setopsNative,
+    "bucketed_join" -> bucketedJoin,
     "q1_agg" -> q1Agg,
     "agg_sd" -> aggSd,
     "drilldown_nested" -> drilldownNested,
@@ -548,6 +572,7 @@ object RelationalQueries {
     "sort_index_order" -> sortIndexOrderSql,
     "sorter_proc" -> sorterProcSql,
     "setops_native" -> setopsNativeSql,
+    "bucketed_join" -> bucketedJoinSql,
     "q1_agg" -> q1AggSql,
     "agg_sd" -> aggSdSql,
     "drilldown_nested" -> drilldownNestedSql,

@@ -1,0 +1,71 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction operators: deterministic sampling and
+  * concat-chunk sequence packing.
+  *
+  * Both are single-pass map-side shapes (no RNG state, no global window):
+  * reproducible bit-for-bit on any engine, so the DuckDB oracles replay
+  * them exactly.
+  */
+object Mixing {
+
+  /** Deterministic per-group sampling for training-mixture weights: keep a
+    * row iff LCG(id) mod 100 < its group's percentage rate. No RNG state —
+    * the keep decision is a pure function of the id, so the sample is
+    * stable under re-runs, retries, and engine changes (the property that
+    * matters when a 100-TB mix must be re-derivable). Map-side filter:
+    * ZERO shuffle at any scale. */
+  def mixSample(docs: DataFrame, idCol: String, ratePct: Column): DataFrame =
+    docs
+      .withColumn("rate", ratePct.cast("long"))
+      .where((col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+        % 100 < col("rate"))
+
+  /** Concat-and-chunk sequence packing (the LLM pretraining layout): docs
+    * in `idCol` order form one virtual token stream, cut into fixed
+    * `budget`-token context windows; each doc reports the window (`bin`)
+    * and `offset` where its first token lands.
+    *
+    * Scale shape — a naive global cumsum is a ONE-partition window (the
+    * classic 100-TB bottleneck); this is the distributed prefix-sum
+    * instead: range-partition by id (global order preserved across
+    * partitions), per-partition token totals (tiny: one row per
+    * partition) are prefix-summed on the driver and broadcast back, and
+    * the within-partition cumsum runs as a window PARTITIONED BY the
+    * range bucket — every partition works in parallel. The partitioned
+    * frame is persisted so the partials pass and the final pass see one
+    * materialization. */
+  def seqPack(docs: DataFrame, idCol: String, tokCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val base = docs
+      .select(col(idCol).as("id"), tokCol.cast("long").as("n_toks"))
+      .repartitionByRange(col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val partials = base.groupBy("pid").agg(sum("n_toks").as("ptoks"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // driver prefix-sum over ONE ROW PER PARTITION — bounded state
+      var acc = 0L
+      val prefix = partials.map { case (pid, ptoks) =>
+        val before = acc; acc += ptoks; (pid, before)
+      }
+      val prefixDf = docs.sparkSession
+        .createDataFrame(prefix.toSeq).toDF("pid", "poffset")
+      val w = Window.partitionBy("pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.join(broadcast(prefixDf), Seq("pid"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_toks")).over(w), lit(0L)) + col("poffset"))
+        .select(col("id"), col("n_toks"),
+          // integer `div`, not `/`: double division would round above 2^53
+          expr(s"cum_before div $budget").as("bin"),
+          (col("cum_before") % budget).as("bin_offset"))
+    } finally base.unpersist()
+  }
+}

@@ -95,6 +95,24 @@ object ExplainCheck {
     check("ivfpq code-only pruned candidate scan",
       p8.contains("In(list_id") && !p8.contains("vec:array"), p8)
 
+    // 9. bucketed co-located join: both sides pre-bucketed on doc_id with
+    //    the same spec -> sort-merge join with ZERO Exchange. Broadcast is
+    //    disabled for the assert — at 100 TB neither side broadcasts, and
+    //    the no-shuffle bucketed plan is exactly the shape that matters.
+    val bkDir = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    val docs9 = graft.api.Tables.table(spark, dir, "documents")
+    graft.sources.BucketedTables.writeBucketed(
+      docs9.select("doc_id", "lang"), "ec_bk_a", 4, "doc_id", s"$bkDir/a")
+    graft.sources.BucketedTables.writeBucketed(
+      docs9.select("doc_id", "n_chars"), "ec_bk_b", 4, "doc_id", s"$bkDir/b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p9 = plan(graft.sources.BucketedTables.colocatedJoin(
+      spark, "ec_bk_a", "ec_bk_b", "doc_id"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    check("bucketed co-located join zero-shuffle",
+      !p9.contains("Exchange") && p9.contains("SortMergeJoin"), p9)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)

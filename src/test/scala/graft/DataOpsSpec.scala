@@ -42,6 +42,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("seq pack: distributed prefix-sum equals the global cumsum") {
+    val docs = (0L until 200L)
+      .map(i => (i, ("w " * ((i % 37 + 1).toInt)).trim)).toDF("doc_id", "text")
+    val got = graft.textops.Mixing
+      .seqPack(docs, "doc_id", size(split(col("text"), " ")), budget = 50L)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 200)
+    var cum = 0L
+    got.foreach { case (id, n, bin, off) =>
+      assert(n == id % 37 + 1)
+      assert(bin == cum / 50 && off == cum % 50, s"doc $id: ($bin,$off) cum=$cum")
+      cum += n
+    }
+  }
+
+  test("mix sample: pure function of id; rates 100 and 0 are exact") {
+    val docs = (0L until 100L)
+      .map(i => (i, if (i < 50) "a" else "b")).toDF("doc_id", "grp")
+    val rate = when(col("grp") === "a", 100).otherwise(0)
+    val kept = graft.textops.Mixing.mixSample(docs, "doc_id", rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 50L).toSet)
+    assert(graft.textops.Mixing.mixSample(docs, "doc_id", rate).count() == 50)
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs zero") {
     val evalDocs = Seq(
       (100L, "what is the capital of france paris obviously"),
