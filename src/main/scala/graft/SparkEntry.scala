@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.api.{DataOpsQueries, ExtraQueries, FulltextQueries, RelationalQueries, Tables}
+import graft.api.{DataOpsQueries, ExtraQueries, FulltextQueries, RelationalQueries, StreamQueries, Tables}
 import graft.query.{MatchMode, ScoreMode}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FulltextQueries.queries ++ RelationalQueries.queries ++
-      DataOpsQueries.queries ++ ExtraQueries.queries
+      DataOpsQueries.queries ++ ExtraQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     FulltextQueries.oracles ++ RelationalQueries.oracles ++
-      DataOpsQueries.oracles ++ ExtraQueries.oracles
+      DataOpsQueries.oracles ++ ExtraQueries.oracles ++ StreamQueries.oracles
 }
