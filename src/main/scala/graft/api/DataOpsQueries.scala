@@ -66,6 +66,46 @@ object DataOpsQueries {
       |WHERE CAST(m AS DOUBLE) / (sa.nsh + sb.nsh - m) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** near-dup pairs → dedup CLUSTERS: connected components over the
+    * minhash-LSH pair set (pointer-jumping min-label propagation); the
+    * oracle replays reachability as a recursive CTE. */
+  def dedupComponentsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.table(spark, dir, "documents"),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+
+  private def componentsProlog(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |cedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT DISTINCT u AS id, u AS r FROM cedges
+       |  UNION SELECT reach.id, e.v FROM reach JOIN cedges e ON reach.r = e.u)
+       |""".stripMargin
+
+  def dedupComponentsSql: String = componentsProlog(dedupMinhashLshSql) +
+    """SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** the actionable dedup decision list: every non-canonical member of a
+    * component, with the canonical (min-id) doc it duplicates */
+  def dedupDropListQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.table(spark, dir, "documents"),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("kept_id"))
+      .orderBy("doc_id")
+
+  def dedupDropListSql: String = componentsProlog(dedupMinhashLshSql) +
+    """SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS kept_id
+      |FROM reach GROUP BY 1 HAVING min(r) <> id ORDER BY 1""".stripMargin
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
         n = 3, bands = 4, rows = 4, threshold = 0.8)
@@ -823,7 +863,9 @@ object DataOpsQueries {
     "mm_decode_wav" -> mmDecodeWav,
     "decontaminate" -> decontaminateQ,
     "mix_sample" -> mixSampleQ,
-    "seq_pack" -> seqPackQ)
+    "seq_pack" -> seqPackQ,
+    "dedup_components" -> dedupComponentsQ,
+    "dedup_drop_list" -> dedupDropListQ)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -857,5 +899,7 @@ object DataOpsQueries {
     "mm_decode_wav" -> mmDecodeWavSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSampleSql,
-    "seq_pack" -> seqPackSql)
+    "seq_pack" -> seqPackSql,
+    "dedup_components" -> dedupComponentsSql,
+    "dedup_drop_list" -> dedupDropListSql)
 }

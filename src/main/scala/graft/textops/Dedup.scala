@@ -305,4 +305,50 @@ object Dedup {
     }.reduce(_ + _)
     agg.select(col("id"), sig.as("simhash"))
   }
+
+  /** Connected components over a near-duplicate PAIR set — the step that
+    * turns pairwise evidence (minhash/simhash/embedding pairs) into
+    * dedup CLUSTERS, so a pipeline can keep one canonical doc per
+    * component. Output: (id, component) for every node that appears in a
+    * pair, component = the smallest id reachable from it.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * first takes the min label over direct neighbors, then replaces every
+    * label by its label's label (path halving). The jump collapses chains
+    * geometrically, so convergence is O(log n) rounds rather than
+    * O(diameter) plain propagation would need; each round is two
+    * hash-partitioned joins + one groupBy on long keys, no driver state
+    * beyond the per-round converged? scalar. Lineage is cut per round
+    * (localCheckpoint) — an iterative plan would otherwise double in
+    * depth every round. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var comp = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = sym
+        .join(comp.select(col("id").as("v"), col("comp").as("vc")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vc")).as("nmin"))
+        .select(col("u").as("id"), col("nmin"))
+      val c1 = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jump = c1.select(col("id").as("jid"), col("comp").as("jc"))
+      val c2 = c1.join(jump, c1("comp") === jump("jid"), "left")
+        .select(c1("id"), coalesce(col("jc"), c1("comp")).as("comp"))
+        .localCheckpoint()
+      done = c2.as("n").join(comp.as("o"), Seq("id"))
+        .where(col("n.comp") =!= col("o.comp")).isEmpty
+      comp = c2
+      it += 1
+    }
+    sym.unpersist()
+    comp
+  }
 }

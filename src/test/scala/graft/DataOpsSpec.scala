@@ -239,4 +239,17 @@ class DataOpsSpec extends AnyFunSuite {
       "mail <EMAIL> and <EMAIL> tel <PHONE> host <IP> done")))
     assert(got(1) == ((2L, 0, 0, 0, "no pii here just words")))
   }
+
+  test("connected components: chain collapses via pointer jumping, disjoint clusters stay apart") {
+    // a 12-node path (worst case for plain propagation — pointer jumping
+    // must collapse it in O(log n) rounds), a pair, and a triangle
+    val chain = (0L until 11L).map(i => (i + 1, i))
+    val edges = (chain ++ Seq((101L, 100L), (201L, 200L), (202L, 201L), (202L, 200L)))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", maxIter = 6)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val want = (0L to 11L).map(i => (i, 0L)) ++
+      Seq((100L, 100L), (101L, 100L), (200L, 200L), (201L, 200L), (202L, 200L))
+    assert(got.toSeq == want)
+  }
 }
