@@ -548,7 +548,41 @@ object FulltextQueries {
        |FROM matched m JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** the queries the batched-search gate runs — one scan for all three */
+  private val BatchQueries = Seq(
+    Seq("spark", "dup", "window"), Seq("spark", "window"), Seq("dup"))
+
+  /** batched multi-query BM25 top-10: ONE pruned postings scan answers
+    * all three queries (GraftIndex.searchTermsBatch); oracle = the
+    * per-query BM25 replay UNION ALL'd. */
+  def batchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    idx.topKPerQuery(
+        idx.searchTermsBatch(BatchQueries, MatchMode.Any, ScoreMode.Bm25(),
+          topK = 10), 10)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  private def bm25TopkSelect(qid: Int, terms: Seq[String]): String =
+    s"""SELECT * FROM (
+       |  SELECT $qid AS query_id, doc_id, round(score, 4) AS score FROM (
+       |    SELECT tf.doc_id,
+       |      sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |          tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |    WHERE term IN ${sqlList(terms)}
+       |    GROUP BY tf.doc_id)
+       |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+
+  val batchTopkSql: String = OracleProlog +
+    BatchQueries.zipWithIndex
+      .map { case (ts, i) => bm25TopkSelect(i, ts) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_batch_topk" -> batchTopk,
     "ft_and_tf" -> andTf,
     "ft_or_quorum" -> orQuorum,
     "ft_bm25_topk" -> bm25TopK,
@@ -580,6 +614,7 @@ object FulltextQueries {
     "ft_stemmed" -> stemmed)
 
   val oracles: Map[String, String] = Map(
+    "ft_batch_topk" -> batchTopkSql,
     "ft_and_tf" -> andTfSql,
     "ft_or_quorum" -> orQuorumSql,
     "ft_bm25_topk" -> bm25TopKSql,

@@ -274,6 +274,92 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     runKernel(q, blocks)
   }
 
+  /** BATCHED multi-query search: N term queries answered from ONE pruned
+    * postings scan. The union of all queries' terms is pushed down as a
+    * single term-IN filter, each bucket's blocks are materialized once and
+    * the kernel runs per query over the shared in-memory blocks (the
+    * kernel builds cursors only for its own query's terms, so no
+    * per-query filtering is needed). Per-bucket memory is the bucket's
+    * pruned block set — the same bound the single-query kernel already
+    * has, since it too buffers a bucket's cursors.
+    *
+    * This is the Spark-first answer to query throughput: where the
+    * reference dispatches each query on its own thread over shared memory
+    * (grn_ii_select per caller), here a query BATCH becomes one job whose
+    * scan/shuffle cost is shared — at 1000 executors, k queries cost one
+    * scan, not k. Driver stats for the whole batch are fetched in one
+    * dictionary lookup, and a batch whose total posting footprint fits
+    * `smallQueryCap` runs driver-side in a single stage.
+    *
+    * Output: (query_id, doc_id, score); query_id = position in `batch`.
+    * Conjunctive queries containing an unknown term match nothing, same
+    * as searchTerms. */
+  def searchTermsBatch(
+      batch: Seq[Seq[String]],
+      mode: MatchMode = MatchMode.Any,
+      score: ScoreMode = ScoreMode.Tf,
+      topK: Int = 0,
+      sectionWeights: Map[String, Double] = Map.empty): DataFrame = {
+    requirePositionsFor(mode)
+    val allTerms = batch.flatten.distinct
+    val empty = spark.emptyDataset[(Int, Long, Double)]
+      .toDF("query_id", "doc_id", "score")
+    if (allTerms.isEmpty) return empty
+    val stats = termStats(allTerms) // one driver lookup for the whole batch
+    val requireAll = mode match {
+      case MatchMode.All | MatchMode.Phrase | _: MatchMode.Near => true
+      case _ => false
+    }
+    val resolved: Array[(Int, ResolvedQuery)] = batch.zipWithIndex.flatMap {
+      case (qts, qid) =>
+        if (requireAll && !qts.distinct.forall(stats.contains)) None
+        else {
+          val withPos = qts.zipWithIndex.map { case (t, i) => (t, i, 1.0) }
+          Some(qid -> resolve(withPos, mode, score, topK, sectionWeights))
+        }
+    }.toArray
+    if (resolved.isEmpty) return empty
+    val liveTerms = resolved.flatMap(_._2.terms.map(_.term)).distinct.toSeq
+    val blocks = postings.where($"term".isin(liveTerms: _*)).as[PostingBlockRow]
+    val totalDf = resolved.iterator
+      .flatMap(_._2.terms.iterator.map(_.df)).sum // shared terms count once per query: upper bound
+    if (smallQueryCap > 0 && totalDf <= smallQueryCap) {
+      val (td, tg) =
+        if (deletesDf.isEmpty) (Array.emptyLongArray, Array.emptyIntArray)
+        else tombstones
+      val mat = blocks.collect().groupBy(_.bucket).toSeq.sortBy(_._1)
+      val out = resolved.iterator.flatMap { case (qid, q0) =>
+        val qq = q0.copy(tombDocs = td, tombGens = tg)
+        mat.iterator.flatMap { case (_, rs) =>
+          MatchKernel.run(qq, rs.iterator).map { case (d, s) => (qid, d, s) }
+        }
+      }.toSeq
+      return spark.createDataset(out).toDF("query_id", "doc_id", "score")
+    }
+    val bc = if (deletesDf.isEmpty) None else Some(tombBc)
+    blocks.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val mat = rows.toArray // one bucket's pruned blocks, shared by the batch
+        resolved.iterator.flatMap { case (qid, q0) =>
+          val qq = bc match {
+            case Some(b) =>
+              val (td, tg) = b.value; q0.copy(tombDocs = td, tombGens = tg)
+            case None => q0
+          }
+          MatchKernel.run(qq, mat.iterator).map { case (d, s) => (qid, d, s) }
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+  }
+
+  /** Per-query top-k over a searchTermsBatch result, reference tie order. */
+  def topKPerQuery(result: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    result.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k).drop("rk")
+  }
+
   /** Phrase search from a raw phrase string: query-side tokenize (GET mode)
     * supplies the token offsets used by the adjacency check. */
   def searchPhrase(phrase: String, score: ScoreMode = ScoreMode.Tf, topK: Int = 0): DataFrame = {
