@@ -93,6 +93,12 @@ object Bench {
       }
     }.sorted
     def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
+    // the same 20 queries answered as ONE batched job — shared pruned scan
+    val batch20 = (0 until 4).flatMap(_ => queries)
+    val batchSec = time {
+      idx.topKPerQuery(idx.searchTermsBatch(batch20, MatchMode.Any,
+        ScoreMode.Bm25(), topK = 10), 10).collect()
+    }
 
     // ---- sectioned-index WAND datapoint on the DEFAULT corpus ----
     // The gate index's auto bucket sizing at bench SF yields one block per
@@ -162,6 +168,7 @@ object Bench {
       s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
       s""""build":{"docs":$buildDocs,"secs":$buildSec,"docs_per_sec":$docsPerSec,"cpus":$cpus},""" +
       s""""topk_latency":{"p50_ms":${pct(0.5) * 1000},"p95_ms":${pct(0.95) * 1000},"n":${lats.size}},""" +
+      s""""batch_topk":{"n":${batch20.size},"secs":$batchSec,"qps":${batch20.size / batchSec}},""" +
       s""""sect_wand":{"secs":$sectSec,"blocks_seen":$sectSeen,"blocks_decoded":$sectDecoded,""" +
       s""""blocks_skipped":${sectSeen - sectDecoded}},""" +
       s""""sect_wand_skew":{"secs":$skewSec,"blocks_seen":$skewSeen,""" +

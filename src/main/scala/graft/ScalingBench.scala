@@ -104,10 +104,20 @@ object ScalingBench {
     futures.foreach(_.get())
     pool.shutdown()
     val querySec = (System.nanoTime() - qt0) / 1e9
+
+    // the same 20 queries as ONE batched job (searchTermsBatch): the
+    // scan/shuffle cost is shared across the batch — the Spark-native way
+    // to spend a cluster on query throughput
+    val batch = (0 until 4).flatMap(_ => queries)
+    val bt0 = System.nanoTime()
+    idx.topKPerQuery(idx.searchTermsBatch(batch, MatchMode.Any,
+      ScoreMode.Bm25(), topK = 10), 10).collect()
+    val batchSec = (System.nanoTime() - bt0) / 1e9
     println(
       s"""{"metric":"scaling_level","cpus":$cpus,"docs":$nDocs,""" +
       s""""build_secs":$buildSec,"docs_per_sec":${nDocs / buildSec},""" +
-      s""""query_secs":$querySec,"qps":${20.0 / querySec}}""")
+      s""""query_secs":$querySec,"qps":${20.0 / querySec},""" +
+      s""""batch_query_secs":$batchSec,"batch_qps":${20.0 / batchSec}}""")
     s.stop()
   }
 }
