@@ -66,4 +66,18 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(gotTop == want)
     } finally spark.conf.set("spark.graft.smallQueryMaxPostings", "0")
   }
+
+  test("batch respects tombstones: equals per-query on a mutated index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-batch-mut").toString
+    IndexBuilder.build(spark, WebCorpus.generate(spark, 400, 4),
+      "doc_id", "text", s"$tmp/idx", IndexConfig(bucketBits = 6))
+    val mut = graft.streaming.IncrementalIndex.delete(spark, s"$tmp/idx",
+      (0L until 400L by 7L).toSeq)
+    val got = collectBatch(mut, MatchMode.Any, ScoreMode.Bm25())
+    batch.zipWithIndex.foreach { case (q, qid) =>
+      val want = single(mut, q, MatchMode.Any, ScoreMode.Bm25())
+      assert(got.getOrElse(qid, Nil) == want, s"mut qid=$qid")
+      assert(want.forall(_._1 % 7 != 0))
+    }
+  }
 }
