@@ -894,7 +894,21 @@ object ExtraQueries {
       |    x -> x <> ''), '|') AS toks
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** deterministic HLL distinct-user estimate per event type — the sketch
+    * and its DuckDB replay are generated from one definition
+    * (ml.Sketches); at 100 TB the shuffle carries ≤1024 (group, register)
+    * rows per group instead of every raw id */
+  def approxDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.Sketches.approxDistinct(
+        Tables.table(spark, dir, "events"), Seq("event_type"), col("user_id"))
+      .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    graft.ml.Sketches.approxDistinctSql(
+      "events", "event_type", "event_type", "user_id") + "\nORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct" -> approxDistinctQ,
     "string_procs" -> stringProcs,
     "normalize_table" -> normalizeTable,
     "dump_cmd" -> dumpCmd,
@@ -976,5 +990,6 @@ object ExtraQueries {
     "suggest_learned" -> suggestLearnedSql,
     "suggest_correct" -> suggestCorrectSql,
     "suggest_cooccur" -> suggestCooccurSql,
-    "ft_query_expand" -> queryExpandSql)
+    "ft_query_expand" -> queryExpandSql,
+    "approx_distinct" -> approxDistinctSql)
 }

@@ -240,6 +240,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 0, 0, 0, "no pii here just words")))
   }
 
+  test("hll sketch: estimate within 5% at 20k distinct, exact small counts via linear counting") {
+    import graft.ml.Sketches
+    val big = (0L until 20000L).map(i => ("g", s"user-$i")).toDF("g", "v")
+    val est = Sketches.approxDistinct(big, Seq("g"), col("v"))
+      .select("approx_distinct").as[Long].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"est=$est")
+    // tiny cardinality → linear-counting branch, which is near-exact
+    val small = (0L until 40L).map(i => ("g", s"u$i")).toDF("g", "v")
+    val estS = Sketches.approxDistinct(small, Seq("g"), col("v"))
+      .select("approx_distinct").as[Long].head()
+    assert(math.abs(estS - 40.0) <= 2, s"estS=$estS")
+  }
+
   test("connected components: chain collapses via pointer jumping, disjoint clusters stay apart") {
     // a 12-node path (worst case for plain propagation — pointer jumping
     // must collapse it in O(log n) rounds), a pair, and a triangle
