@@ -907,7 +907,64 @@ object ExtraQueries {
     graft.ml.Sketches.approxDistinctSql(
       "events", "event_type", "event_type", "user_id") + "\nORDER BY event_type"
 
+  /** as-of join: each click attached to the user's latest purchase at or
+    * before it (operators.AsofJoin — one union + window pass, no
+    * inequality join); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, an
+    * independent implementation of the same semantics */
+  def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        round(col("value") * 100).cast("long").as("p_cents"))
+    graft.operators.AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts",
+        Seq("p_event_id", "p_cents"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_p_event_id"), col("asof_p_cents"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT l.event_id, l.user_id, r.event_id AS asof_p_event_id,
+      |  CAST(round(r.value * 100) AS BIGINT) AS asof_p_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  /** bucketed range join: lineitem price points inside sampled order
+    * price intervals (operators.RangeJoin — hash join on quantized
+    * buckets + exact filter, never a nested loop); integer-cent
+    * arithmetic keeps the aggregate exact */
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.table(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("p"))
+    val iv = Tables.table(spark, dir, "orders")
+      .where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 500000L)
+    graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi",
+        bucketWidth = 500000L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("p")).as("sum_p"))
+      .orderBy("o_orderkey")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT o_orderkey, count(*) AS n_pts, CAST(sum(p) AS BIGINT) AS sum_p
+      |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      |      FROM lineitem) pts
+      |JOIN (SELECT o_orderkey,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS lo
+      |      FROM orders WHERE o_orderkey % 100 = 0) iv
+      |  ON p >= lo AND p < lo + 500000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> rangeJoinQ,
+    "asof_join" -> asofJoinQ,
     "approx_distinct" -> approxDistinctQ,
     "string_procs" -> stringProcs,
     "normalize_table" -> normalizeTable,
@@ -991,5 +1048,7 @@ object ExtraQueries {
     "suggest_correct" -> suggestCorrectSql,
     "suggest_cooccur" -> suggestCooccurSql,
     "ft_query_expand" -> queryExpandSql,
-    "approx_distinct" -> approxDistinctSql)
+    "approx_distinct" -> approxDistinctSql,
+    "asof_join" -> asofJoinSql,
+    "range_join" -> rangeJoinSql)
 }

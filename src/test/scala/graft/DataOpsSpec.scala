@@ -240,6 +240,35 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 0, 0, 0, "no pii here just words")))
   }
 
+  test("asof join: latest at-or-before right row, equal-ts matches, null when none") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"), (2L, 100L, "d"))
+      .toDF("k", "t", "lval")
+    val right = Seq((1L, 100L, 10L), (1L, 150L, 20L), (3L, 1L, 99L))
+      .toDF("k", "t", "rv")
+    val got = AsofJoin.asof(left, right, Seq("k"), "t", Seq("rv"))
+      .select("k", "t", "lval", "asof_rv")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 50L, "c", None),        // before any right row
+      (1L, 100L, "a", Some(10L)),  // equal ts matches (<=)
+      (1L, 200L, "b", Some(20L)),  // latest of the two priors
+      (2L, 100L, "d", None)))      // key with no right rows at all
+  }
+
+  test("range join: containment exact at bucket boundaries, wide intervals covered") {
+    import graft.operators.RangeJoin
+    val pts = Seq(0L, 9L, 10L, 15L, 19L, 20L, 35L).map(Tuple1(_)).toDF("p")
+    val iv = Seq((100L, 10L, 20L), (200L, 0L, 40L), (300L, 36L, 37L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", bucketWidth = 10L)
+      .select("iid", "p").as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (100L, 10L), (100L, 15L), (100L, 19L), // [10,20): 20 excluded, 10 included
+      (200L, 0L), (200L, 9L), (200L, 10L), (200L, 15L), (200L, 19L),
+      (200L, 20L), (200L, 35L)))             // wide interval spans 5 buckets
+  }
+
   test("hll sketch: estimate within 5% at 20k distinct, exact small counts via linear counting") {
     import graft.ml.Sketches
     val big = (0L until 20000L).map(i => ("g", s"user-$i")).toDF("g", "v")
