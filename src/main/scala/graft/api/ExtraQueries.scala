@@ -962,9 +962,70 @@ object ExtraQueries {
       |  ON p >= lo AND p < lo + 500000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** forward as-of: each click attached to the user's EARLIEST purchase
+    * at or after it (AsofJoin Forward direction — same single
+    * union+window pass); oracle is DuckDB ASOF LEFT JOIN with `<=` */
+  def asofJoinFwdQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        round(col("value") * 100).cast("long").as("p_cents"))
+    graft.operators.AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts",
+        Seq("p_event_id", "p_cents"),
+        direction = graft.operators.AsofJoin.Forward)
+      .select(col("event_id"), col("user_id"),
+        col("asof_p_event_id"), col("asof_p_cents"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinFwdSql: String =
+    """SELECT l.event_id, l.user_id, r.event_id AS asof_p_event_id,
+      |  CAST(round(r.value * 100) AS BIGINT) AS asof_p_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  /** interval-overlap join: two disjoint samples of order price
+    * intervals, every overlapping pair found via bucket quantization —
+    * each pair emitted from exactly ONE bucket (the overlap start's), so
+    * no distinct pass; oracle is the plain quadratic overlap predicate */
+  def intervalOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    def ivs(mod: Int, width: Long, kc: String, loc: String, hic: String) =
+      orders.where(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(kc),
+          round(col("o_totalprice") * 100).cast("long").as(loc))
+        .withColumn(hic, col(loc) + width)
+    val a = ivs(97, 300000L, "a_key", "a_lo", "a_hi")
+    val b = ivs(89, 400000L, "b_key", "b_lo", "b_hi")
+    graft.operators.RangeJoin.intervalOverlap(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 400000L)
+      .groupBy(col("a_key"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("b_key")).as("sum_b"))
+      .orderBy("a_key")
+  }
+
+  val intervalOverlapSql: String =
+    """SELECT a_key, count(*) AS n_overlaps, CAST(sum(b_key) AS BIGINT) AS sum_b
+      |FROM (SELECT o_orderkey AS a_key,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS a_lo,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) + 300000 AS a_hi
+      |      FROM orders WHERE o_orderkey % 97 = 0) a
+      |JOIN (SELECT o_orderkey AS b_key,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS b_lo,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) + 400000 AS b_hi
+      |      FROM orders WHERE o_orderkey % 89 = 0) b
+      |  ON a_lo < b_hi AND b_lo < a_hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join" -> rangeJoinQ,
     "asof_join" -> asofJoinQ,
+    "asof_join_fwd" -> asofJoinFwdQ,
+    "interval_overlap" -> intervalOverlapQ,
     "approx_distinct" -> approxDistinctQ,
     "string_procs" -> stringProcs,
     "normalize_table" -> normalizeTable,
@@ -1050,5 +1111,7 @@ object ExtraQueries {
     "ft_query_expand" -> queryExpandSql,
     "approx_distinct" -> approxDistinctSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_fwd" -> asofJoinFwdSql,
+    "interval_overlap" -> intervalOverlapSql,
     "range_join" -> rangeJoinSql)
 }

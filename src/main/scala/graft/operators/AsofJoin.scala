@@ -29,16 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Match direction: Backward = latest right with right.time <=
+    * left.time (the classic as-of); Forward = earliest right with
+    * right.time >= left.time. Equal timestamps match in both. */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   /** Output: every left column, plus `rightCols` each prefixed with
-    * `prefix` (NULL when the key has no right row at or before the left
-    * row's time). */
+    * `prefix` (NULL when the key has no right row on the matching side
+    * of the left row's time). */
   def asof(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       timeCol: String,
       rightCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      direction: Direction = Backward): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one column")
     val leftOnly = left.columns.toSeq.filterNot(c =>
       keyCols.contains(c) || c == timeCol)
@@ -51,9 +59,21 @@ object AsofJoin {
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("asof_side"),
         payload.as("asof_payload")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol), col("asof_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both directions use the SAME incremental [unboundedPreceding,
+    // currentRow] frame with last(ignoreNulls) — Spark evaluates it in one
+    // O(n) forward pass per partition. Forward direction just scans the
+    // timeline DESCENDING ("earliest right at-or-after" = most recent
+    // right seen while walking backward from +inf). The naive alternative
+    // — first() over [currentRow, unboundedFollowing] — plans an
+    // UnboundedFollowing frame that Spark recomputes from scratch per row:
+    // O(n^2) on a hot key. Right rows carry side=0 so they order before
+    // left rows at an equal timestamp in BOTH scan directions, keeping
+    // equal-ts rights visible (<= / >= semantics).
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+    val w = (direction match {
+      case Backward => ord.orderBy(col(timeCol).asc, col("asof_side").asc)
+      case Forward  => ord.orderBy(col(timeCol).desc, col("asof_side").asc)
+    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("asof_carried", last(col("asof_payload"), ignoreNulls = true).over(w))
       .where(col("asof_side") === 1)

@@ -37,4 +37,37 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("rj_bucket")
   }
+
+  /** Interval-overlap join: every (a, b) pair whose half-open intervals
+    * [aLo, aHi) and [bLo, bHi) intersect. Same bucket-quantized hash-join
+    * shape; an overlapping pair shares ceil(overlapWidth/bucketWidth)
+    * buckets, so to stay duplicate-free WITHOUT a distinct (a corpus-wide
+    * exchange), a pair is emitted only from the one bucket containing the
+    * overlap's START, max(aLo, bLo) — each overlapping pair has exactly
+    * one such bucket. Column names must not collide across `a` and `b`
+    * (rename before calling). */
+  def intervalOverlap(
+      a: DataFrame,
+      aLo: String,
+      aHi: String,
+      b: DataFrame,
+      bLo: String,
+      bHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // empty intervals ([x, y) with y <= x) overlap nothing, but the
+    // lo1<hi2 AND lo2<hi1 predicate and the bucket sequence both assume
+    // non-empty inputs — drop them up front
+    val ab = a.where(col(aLo) < col(aHi)).withColumn("rj_bucket",
+      explode(sequence(floor(col(aLo) / bucketWidth).cast("long"),
+        floor((col(aHi) - 1) / bucketWidth).cast("long"))))
+    val bb = b.where(col(bLo) < col(bHi)).withColumn("rj_bucket",
+      explode(sequence(floor(col(bLo) / bucketWidth).cast("long"),
+        floor((col(bHi) - 1) / bucketWidth).cast("long"))))
+    ab.join(bb, Seq("rj_bucket"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi) &&
+        col("rj_bucket") ===
+          floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("rj_bucket")
+  }
 }

@@ -256,6 +256,36 @@ class DataOpsSpec extends AnyFunSuite {
       (2L, 100L, "d", None)))      // key with no right rows at all
   }
 
+  test("asof join forward: earliest at-or-after right row, equal-ts matches") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"))
+      .toDF("k", "t", "lval")
+    val right = Seq((1L, 100L, 10L), (1L, 250L, 20L)).toDF("k", "t", "rv")
+    val got = AsofJoin.asof(left, right, Seq("k"), "t", Seq("rv"),
+        direction = AsofJoin.Forward)
+      .select("k", "t", "lval", "asof_rv")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 100L, "a", Some(10L)),  // equal ts matches (>=)
+      (1L, 200L, "b", Some(20L)),  // earliest of the laters
+      (1L, 300L, "c", None)))      // after every right row
+  }
+
+  test("interval overlap: duplicate-free across shared buckets, empty intervals dropped") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, 0L, 100L), (2L, 95L, 96L), (3L, 50L, 50L))
+      .toDF("a_key", "a_lo", "a_hi") // a3 is empty: overlaps nothing
+    val b = Seq((10L, 90L, 200L), (11L, 100L, 110L), (12L, 40L, 60L))
+      .toDF("b_key", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        bucketWidth = 10L)
+      .select("a_key", "b_key").as[(Long, Long)].collect().sortBy(identity)
+    // a1=[0,100) spans 10 buckets and overlaps b10 on [90,100) (2 shared
+    // buckets) and b12 on [40,60) — each pair exactly once; [100,110)
+    // does NOT overlap the half-open [0,100)
+    assert(got.toSeq == Seq((1L, 10L), (1L, 12L), (2L, 10L)))
+  }
+
   test("range join: containment exact at bucket boundaries, wide intervals covered") {
     import graft.operators.RangeJoin
     val pts = Seq(0L, 9L, 10L, 15L, 19L, 20L, 35L).map(Tuple1(_)).toDF("p")
