@@ -568,9 +568,24 @@ final case class GraftIndex(spark: SparkSession, path: String) {
     * `maxExpansions` terms (a loose pattern over a web-scale lexicon would
     * otherwise OOM the driver / blow the IN-list); above the cap the match
     * is computed by a distributed postings⋈terms join instead
-    * (grn_ii_select GRN_OP_REGEXP dict-literal path, lib/ii.cpp:14788). */
+    * (grn_ii_select GRN_OP_REGEXP dict-literal path, lib/ii.cpp:14854;
+    * the reference likewise special-cases "simple" regexps into cheaper
+    * paths — lib/expr_executor.cpp:2862). An `^`-anchored literal prefix
+    * is additionally pushed into the dictionary scan as a StartsWith
+    * predicate: the terms table is written term-sorted, so parquet min/max
+    * stats prune every row group outside the prefix range and the rlike
+    * only runs over the survivors — at a web-scale lexicon this turns a
+    * full dictionary scan into a few row groups. */
+  /** the dictionary side of a regexp search — exposed so plan checks can
+    * assert the prefix pushdown on the exact scan searchRegexp runs */
+  def regexpDictionary(pattern: String): DataFrame = {
+    val pre = GraftIndex.regexpLiteralPrefix(pattern)
+    val dict = if (pre.isEmpty) terms else terms.where($"term".startsWith(pre))
+    dict.where($"term".rlike(pattern)).select($"term").distinct()
+  }
+
   def searchRegexp(pattern: String, maxExpansions: Int = 1024): DataFrame = {
-    val matching = terms.where($"term".rlike(pattern)).select($"term").distinct()
+    val matching = regexpDictionary(pattern)
     val sample = matching.limit(maxExpansions + 1).as[String].collect()
     if (sample.isEmpty) emptyResult
     else if (sample.length <= maxExpansions)
@@ -695,4 +710,41 @@ object GraftIndex {
   /** default Σ-df cap for the driver-side small-query kernel path: ~256k
     * postings ≈ single-digit MB of encoded blocks on the driver */
   final val DefaultSmallQueryMaxPostings: Long = 1L << 18
+
+  /** Longest literal prefix REQUIRED by a `^`-anchored Java regexp, or ""
+    * when none can be proven. Conservative by construction — a returned
+    * prefix is sound iff every matching string starts with it, so:
+    *   - unanchored patterns, or any `|` anywhere (alternation could
+    *     bypass the prefix), or a leading group/class → ""
+    *   - a quantifier (`* + ? {`) makes its preceding char optional or
+    *     repeated: drop that char and stop (keeping fewer chars is always
+    *     sound; `^ab?c` → "a", `^qu.*y$` → "qu")
+    *   - `\x` where x is a regex metachar/punct is that literal char;
+    *     `\d`-style classes stop the scan
+    * (the reference's simple-regexp fast paths play the same game of
+    * proving a pattern is cheaper than full regex execution —
+    * lib/expr_executor.cpp:2862). */
+  def regexpLiteralPrefix(pattern: String): String = {
+    if (!pattern.startsWith("^") || pattern.contains("|")) return ""
+    val meta = ".[({*+?$\\"
+    val sb = new StringBuilder
+    var i = 1
+    var done = false
+    while (!done && i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '*' || c == '+' || c == '?' || c == '{') {
+        if (sb.nonEmpty) sb.setLength(sb.length - 1) // preceding char now unproven
+        done = true
+      } else if (c == '\\' && i + 1 < pattern.length) {
+        val e = pattern.charAt(i + 1)
+        if (Character.isLetterOrDigit(e)) done = true // \d \w \Q … — give up
+        else { sb.append(e); i += 2 }                 // escaped literal metachar
+      } else if (meta.indexOf(c.toInt) >= 0) {
+        done = true
+      } else { sb.append(c); i += 1 }
+    }
+    // a quantifier could still follow the scan break via lookahead etc.;
+    // the loop already stopped before consuming it, so sb is proven
+    sb.toString
+  }
 }

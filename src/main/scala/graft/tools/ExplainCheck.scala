@@ -113,6 +113,29 @@ object ExplainCheck {
     check("bucketed co-located join zero-shuffle",
       !p9.contains("Exchange") && p9.contains("SortMergeJoin"), p9)
 
+    // 10. as-of join: ONE hash exchange on the key (the union+window
+    //     shape) — never a broadcast nested loop, never a second shuffle
+    val ev10 = graft.api.Tables.table(spark, dir, "events")
+    val l10 = ev10.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val r10 = ev10.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val p10 = plan(graft.operators.AsofJoin.asof(
+      l10, r10, Seq("user_id"), "ts", Seq("pid")))
+    val exchanges10 = p10.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    check("asof join single hash shuffle",
+      exchanges10 == 1 && !p10.contains("BroadcastNestedLoopJoin") &&
+        !p10.contains("CartesianProduct"),
+      s"expected 1 hash Exchange, saw $exchanges10\n$p10")
+
+    // 11. anchored regexp pushes its literal prefix into the dictionary
+    //     scan as a StartsWith (row-group pruning on the sorted terms
+    //     table); the rlike survives as a post-filter only
+    val p11 = plan(idx.regexpDictionary("^qu.*y$"))
+    check("regexp literal-prefix dictionary pushdown",
+      p11.contains("StringStartsWith(term,qu"), p11)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -206,6 +206,22 @@ class IndexSpec extends AnyFunSuite {
     assert(viaKernel == viaJoin)
   }
 
+  test("regexp literal-prefix extraction is conservative and sound") {
+    import graft.index.GraftIndex.regexpLiteralPrefix
+    assert(regexpLiteralPrefix("^qu.*y$") == "qu")
+    assert(regexpLiteralPrefix("^abc$") == "abc")
+    assert(regexpLiteralPrefix("^abc") == "abc")
+    assert(regexpLiteralPrefix("^ab?c") == "a")    // optional b unproven
+    assert(regexpLiteralPrefix("^a{2}b") == "")    // quantifier drops a (conservative)
+    assert(regexpLiteralPrefix("^ab|cd") == "")    // alternation bypasses anchor
+    assert(regexpLiteralPrefix("qu.*") == "")      // unanchored
+    assert(regexpLiteralPrefix("^\\.cfg$") == ".cfg") // escaped literal dot
+    assert(regexpLiteralPrefix("^\\dx") == "")     // \d class: give up
+    assert(regexpLiteralPrefix("^(ab)c") == "")    // leading group
+    assert(regexpLiteralPrefix("^\\.?a") == "")    // quantified escaped literal
+    assert(regexpLiteralPrefix("^") == "")
+  }
+
   test("prefix expansion finds dictionary terms") {
     val prefix = headTerm(0).take(2)
     val exp = index.expandPrefix(prefix)
