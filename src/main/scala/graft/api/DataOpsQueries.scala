@@ -788,6 +788,55 @@ object DataOpsQueries {
        |FROM documents d LEFT JOIN m USING (doc_id)
        |WHERE d.doc_id % 19 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** passage-level chunk dedup: 20-token chunks, first occurrence wins,
+    * text reconstructed from kept chunks */
+  def dedupChunksQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupChunks(Tables.table(spark, dir, "documents"), "doc_id", "text",
+        k = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val dedupChunksSql: String =
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |         array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS chunk
+       |       FROM tl, unnest(range(0, CAST(ceil(len(toks)/20.0) AS BIGINT))) AS u(i)),
+       |hh AS (SELECT doc_id, chunk_idx, chunk, ${sqlPolyHash("chunk", 31)} AS h FROM ch),
+       |kk AS (SELECT doc_id, chunk_idx, chunk,
+       |         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1
+       |              THEN 1 ELSE 0 END AS kept FROM hh)
+       |SELECT doc_id, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+       |    AS text_dedup
+       |FROM kk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** bloom-gated decontamination: eval set = every 17th doc, 2-gram
+    * overlap, contaminated at >= 3 matches. The oracle replays the EXACT
+    * semantics (the bloom is invisible in the output by construction —
+    * false positives are removed by the confirm join). */
+  def decontaminateBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    Dedup.decontaminateBloom(
+      d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+      "doc_id", "text", n = 2, minMatches = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateBloomSql: String =
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shs AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS shingle
+       |        FROM tl, unnest(range(1, len(toks))) AS u(i)),
+       |sh AS (SELECT DISTINCT doc_id, ${sqlPolyHash("shingle", 31)} AS h FROM shs),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),
+       |m AS (SELECT doc_id, count(*) AS matched_ngrams
+       |      FROM sh JOIN ev USING (h) WHERE doc_id % 17 <> 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(m.matched_ngrams, 0) AS BIGINT) AS matched_ngrams,
+       |  coalesce(m.matched_ngrams, 0) >= 3 AS contaminated
+       |FROM documents d LEFT JOIN m USING (doc_id)
+       |WHERE d.doc_id % 17 <> 0 ORDER BY d.doc_id""".stripMargin
+
   /** deterministic training-mix sampling: per-source keep rate = 5 x the
     * numeric source suffix (0%..95%), keep decision a pure LCG of doc_id
     * (zero shuffle, re-derivable — see Mixing.mixSample). */
@@ -804,6 +853,45 @@ object DataOpsQueries {
       |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
       |      < CAST(substr(source, 4) AS INT) * 5
       |ORDER BY doc_id""".stripMargin
+
+  /** exact per-language stratified sample: 40 docs per lang, LCG-ranked
+    * (salted two-phase window — see Mixing.stratifiedSample) */
+  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Mixing.stratifiedSample(Tables.table(spark, dir, "documents"),
+        "doc_id", "lang", quota = 40)
+      .select(col("doc_id"), col("lang"), col("strat_rank"))
+      .orderBy("lang", "strat_rank")
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, CAST(strat_rank AS INT) AS strat_rank FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS strat_rank
+      |  FROM documents)
+      |WHERE strat_rank <= 40 ORDER BY lang, strat_rank""".stripMargin
+
+  /** exact per-language length quantiles (quality-threshold selection):
+    * dyadic quantile points over integer char counts make the linear
+    * interpolation EXACT in binary floating point on any engine — the
+    * trick that lets an interpolated statistic hash-match across Spark
+    * and DuckDB. (At 100 TB the same query runs with approx_percentile;
+    * the exact form is the oracle-checkable variant.) */
+  def quantilesQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("n_chars"), lit(0.25)).as("q25"),
+        percentile(col("n_chars"), lit(0.5)).as("q50"),
+        percentile(col("n_chars"), lit(0.75)).as("q75"),
+        percentile(col("n_chars"), lit(0.875)).as("q875"))
+      .orderBy("lang")
+
+  val quantilesSql: String =
+    """SELECT lang, count(*) AS n,
+      |  quantile_cont(n_chars, 0.25) AS q25,
+      |  quantile_cont(n_chars, 0.5) AS q50,
+      |  quantile_cont(n_chars, 0.75) AS q75,
+      |  quantile_cont(n_chars, 0.875) AS q875
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** concat-and-chunk sequence packing into 2048-token context windows via
     * the distributed prefix-sum (see Mixing.seqPack — no one-partition
@@ -862,6 +950,10 @@ object DataOpsQueries {
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_wav" -> mmDecodeWav,
     "decontaminate" -> decontaminateQ,
+    "decontaminate_bloom" -> decontaminateBloomQ,
+    "dedup_chunks" -> dedupChunksQ,
+    "stratified_sample" -> stratifiedSampleQ,
+    "quantiles" -> quantilesQ,
     "mix_sample" -> mixSampleQ,
     "seq_pack" -> seqPackQ,
     "dedup_components" -> dedupComponentsQ,
@@ -898,6 +990,10 @@ object DataOpsQueries {
     "mm_decode_image" -> mmDecodeImageSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateBloomSql,
+    "dedup_chunks" -> dedupChunksSql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "quantiles" -> quantilesSql,
     "mix_sample" -> mixSampleSql,
     "seq_pack" -> seqPackSql,
     "dedup_components" -> dedupComponentsSql,

@@ -91,6 +91,56 @@ object Dedup {
         (coalesce(col("matched_ngrams"), lit(0L)) >= minMatches).as("contaminated"))
   }
 
+  /** Bloom-gated decontamination — same OUTPUT as [[decontaminate]]
+    * (bit-for-bit: the bloom only prefilters; a final exact semi-join
+    * removes its false positives), for eval suites whose distinct n-gram
+    * set is too large to broadcast as an exact hash set. An exact long set
+    * costs ~8+ B/gram plus hash-table overhead; the bloom is FIXED size by
+    * construction (`numBits`/8 bytes, ~1.2 B/item at 1% fpp), so at 1e8+
+    * eval grams it is the only broadcastable form.
+    *
+    * Scale shape: one distributed aggregate folds the eval grams into the
+    * sketch (Spark's own BloomFilterAggregate, the runtime-filter machinery
+    * — map-side partial blooms OR-merged at the driver), which then rides
+    * the corpus scan as a FOLDABLE codegen'd `might_contain` filter: the
+    * 100-TB train side is scanned exactly once with zero exchange, and only
+    * bloom survivors (true matches + ~fpp of the rest) reach the exact
+    * confirm join, whose corpus-side exchange is therefore ~matches-sized
+    * instead of corpus-sized. The eval side of the confirm join shuffles
+    * eval-sized data — unavoidable for exactness, and independent of the
+    * corpus size. */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minMatches: Int = 1,
+      estimatedEvalGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalGrams = hashedShingles(evalDocs, idCol, textCol, n).select("h")
+    val bloomAgg = column(new BloomFilterAggregate(expression(col("h")),
+      Literal(estimatedEvalGrams), Literal(numBits)).toAggregateExpression())
+    // the sketch is numBits/8 bytes REGARDLESS of eval size — this head()
+    // is a bounded driver fetch, not a data collect
+    val bloomBytes = evalGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val noEvalGrams = bloomBytes == null // empty eval set: nothing contaminates
+    val counts =
+      if (noEvalGrams) null
+      else {
+        val mightContain = column(BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType), expression(col("h"))))
+        hashedShingles(train, idCol, textCol, n)
+          .where(mightContain)                    // map-side, zero exchange
+          .join(evalGrams, Seq("h"), "left_semi") // exact confirm: drops fps
+          .groupBy(col("id")).agg(count(lit(1)).as("matched_ngrams"))
+      }
+    val base = train.select(col(idCol).as("id"))
+    val joined = if (noEvalGrams) base.withColumn("matched_ngrams", lit(null).cast("long"))
+                 else base.join(counts, Seq("id"), "left")
+    joined.select(col("id"),
+      coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
+      (coalesce(col("matched_ngrams"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
   /** exact n-gram Jaccard near-dup pairs: candidates blocked by shared
     * shingle hash (df-capped to bound join fanout on boilerplate shingles),
     * then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. All keying is on the
@@ -234,6 +284,51 @@ object Dedup {
       .localCheckpoint()
     banded.unpersist()
     result
+  }
+
+  /** Passage-level exact dedup (the CCNet/paragraph-dedup recipe over
+    * fixed-width token chunks, since web-extracted text here carries no
+    * paragraph marks): each doc is cut into consecutive `k`-token chunks;
+    * a chunk KEEPS only its globally first occurrence (ordered by
+    * (doc_id, chunk_idx) — deterministic, engine-replayable); the doc's
+    * text is reconstructed from its kept chunks in order.
+    *
+    * Output: (id, n_chunks, n_kept, text_dedup) one row per doc;
+    * text_dedup = "" when every chunk was seen earlier (a full dup doc).
+    *
+    * Scale shape (100 TB): chunking is map-side; the ONLY corpus-wide
+    * exchange is the first-occurrence window, hash-partitioned on the
+    * chunk hash (8-byte longs, not chunk strings); the rebuild groupBy is
+    * per-doc. A boilerplate chunk duplicated across millions of docs lands
+    * in one hash partition — same skew CCNet accepts; rows there are
+    * (id, idx, h) triples, not text, so the hot partition stays small:
+    * chunk TEXT rides only the id-keyed (uniform) exchanges, never the
+    * h-keyed (skewable) one. */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val chunks = docs.select(col(idCol).as("id"),
+        explode(when(size(toks) > 0,
+          sequence(lit(0), ((size(toks) + (k - 1)) / k).cast("int") - 1))
+          .otherwise(array())).as("chunk_idx"),
+        toks.as("toks"))
+      .select(col("id"), col("chunk_idx"),
+        array_join(slice(col("toks"), col("chunk_idx") * k + 1, lit(k)), " ").as("chunk"))
+      .withColumn("h", graft.functions.GraftFunctions.shingle_hash(col("chunk")))
+    // first-occurrence winners: only (id, chunk_idx, h) rides this shuffle
+    val w = Window.partitionBy(col("h")).orderBy(col("id"), col("chunk_idx"))
+    val keep = chunks.select(col("id"), col("chunk_idx"), col("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("chunk_idx"), lit(1L).as("kept"))
+    chunks.drop("h").join(keep, Seq("id", "chunk_idx"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(0L)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept") === 1, struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("text_dedup"))
   }
 
   /** Exact duplicated-substring spans across the corpus (the n-gram-window

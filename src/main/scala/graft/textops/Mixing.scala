@@ -68,4 +68,34 @@ object Mixing {
           (col("cum_before") % budget).as("bin_offset"))
     } finally base.unpersist()
   }
+
+  /** Deterministic stratified sampling: exactly min(quota, |stratum|) rows
+    * per stratum, ranked by LCG(id) with id tiebreak — a pure function of
+    * (stratum, id), so the sample is re-derivable bit-for-bit (same
+    * property as [[mixSample]], which trades exact counts for zero
+    * shuffle; this guarantees exact per-stratum counts — the "same number
+    * of docs per language" mix shape).
+    *
+    * Scale shape: a single window partitioned by the stratum would put a
+    * billion-doc language in ONE task. Instead phase 1 takes each input
+    * partition's local top-`quota` per stratum under a (partition-id,
+    * stratum) window — the partition id SALTS the hot stratum across the
+    * cluster — and phase 2 ranks only the pruned candidates
+    * (≤ quota × nPartitions per stratum). Global top-quota by a total
+    * order is contained in the union of per-slice top-quotas, so the
+    * result is identical to the naive single window. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val key = (col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val salted = Window.partitionBy(col("sf_pid"), col(strataCol))
+      .orderBy(key.asc, col(idCol).asc)
+    val pruned = docs.withColumn("sf_pid", spark_partition_id())
+      .withColumn("sf_r1", row_number().over(salted))
+      .where(col("sf_r1") <= quota)
+      .drop("sf_pid", "sf_r1")
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
+    pruned.withColumn("strat_rank", row_number().over(w))
+      .where(col("strat_rank") <= quota)
+  }
 }

@@ -136,6 +136,13 @@ object ExplainCheck {
     check("regexp literal-prefix dictionary pushdown",
       p11.contains("StringStartsWith(term,qu"), p11)
 
+    // 12. bloom decontamination: the corpus scan carries a foldable
+    //     might_contain filter (codegen'd, zero-exchange prefilter) — the
+    //     eval set never appears as a broadcast exact set on that path
+    val p12 = plan(graft.api.DataOpsQueries.decontaminateBloomQ(spark, dir))
+    check("bloom decontaminate might_contain prefilter",
+      p12.contains("might_contain"), p12)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -67,6 +67,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.textops.Mixing.mixSample(docs, "doc_id", rate).count() == 50)
   }
 
+  test("stratifiedSample: exact quota per stratum, identical to naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 500L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang").repartition(7) // multiple partitions: salted phase real
+    val got = graft.textops.Mixing.stratifiedSample(docs, "doc_id", "lang", 25)
+      .select("doc_id", "lang", "strat_rank")
+      .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got.groupBy(_._2).forall(_._2.size == 25))
+    val key = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val naive = docs.withColumn("strat_rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(key.asc, col("doc_id").asc)))
+      .where(col("strat_rank") <= 25)
+      .select("doc_id", "lang", "strat_rank")
+      .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got == naive)
+    // quota above stratum size: whole stratum, no padding
+    val all = graft.textops.Mixing.stratifiedSample(docs, "doc_id", "lang", 9999)
+    assert(all.count() == 500)
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs zero") {
     val evalDocs = Seq(
       (100L, "what is the capital of france paris obviously"),
@@ -84,6 +104,45 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._3)).toSeq ==
       Seq((1L, true), (2L, false), (3L, false)))
     assert(got(0)._2 == 6 && got(1)._2 == 1 && got(2)._2 == 0)
+  }
+
+  test("decontaminateBloom: bit-identical to exact decontaminate; empty eval safe") {
+    val evalDocs = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "two plus two equals four in base ten")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words what is the capital of france paris obviously suffix"),
+      (2L, "two plus two unrelated tail of words here now"),
+      (3L, "completely disjoint training document about spark shuffles")
+    ).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(train, evalDocs, "doc_id", "text", 3, 2)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val exact = run(graft.textops.Dedup.decontaminate(_, _, _, _, _, _))
+    val bloom = run(graft.textops.Dedup.decontaminateBloom(_, _, _, _, _, _))
+    assert(bloom == exact)
+    // empty eval: no doc is contaminated, no NPE from the null sketch
+    val none = graft.textops.Dedup.decontaminateBloom(
+        train, evalDocs.where(col("doc_id") < 0), "doc_id", "text", 3, 1)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(none == Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("dedupChunks: first occurrence wins, within-doc dups drop, full dup empties") {
+    import graft.textops.Dedup
+    // k=3 chunks; doc 1 = [A][B], doc 2 repeats chunk A twice (one within-
+    // doc dup), doc 3 is doc 1 verbatim (full dup -> empty reconstruction)
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c a b c x y z"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.dedupChunks(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 3L, 1L, "x y z"),
+      (3L, 2L, 0L, "")))
   }
 
   test("minhash LSH finds the same near-dup pairs as exact jaccard (high sim)") {
