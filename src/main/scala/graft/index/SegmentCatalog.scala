@@ -17,6 +17,11 @@ object SegmentCatalog {
   implicit private val fmts: Formats = DefaultFormats
 
   final val ManifestFile = "manifest.json"
+
+  /** manifests kept per index for time-travel reads (Iceberg-style
+    * snapshot retention; compact() is the expiry that actually frees
+    * segment bytes) */
+  final val ManifestRetain = 8
   private val VersionedManifest = """manifest-(\d+)\.json""".r
 
   def fileSystem(spark: SparkSession, path: String): FileSystem =
@@ -42,6 +47,14 @@ object SegmentCatalog {
 
   def isCommitted(fs: FileSystem, outPath: String): Boolean =
     manifests(fs, outPath).nonEmpty
+
+  /** Snapshot history: retained manifest versions, ascending. Every commit
+    * keeps the newest [[ManifestRetain]] manifests (Iceberg-style snapshot
+    * retention) — a retained version is readable via [[readMetaAt]] as
+    * long as compaction has not physically removed the segments it
+    * references (compact() IS snapshot expiry here). */
+  def listVersions(fs: FileSystem, outPath: String): Seq[Long] =
+    manifests(fs, outPath).map(_._1)
 
   /** opaque snapshot marker: changes with every commit (the latest manifest
     * file name) — cache-invalidation key for query-result caches */
@@ -86,13 +99,30 @@ object SegmentCatalog {
     // previous manifest intact, after it the cleanup below is best-effort
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit failed for $outPath")
-    existing.foreach { case (_, p) => try fs.delete(p, false) catch { case _: Exception => } }
+    // snapshot retention: keep the newest ManifestRetain manifests (this
+    // one + ManifestRetain-1 predecessors) for time-travel reads; GC the
+    // rest, best-effort (a leftover is re-collected by the next commit)
+    existing.dropRight(ManifestRetain - 1)
+      .foreach { case (_, p) => try fs.delete(p, false) catch { case _: Exception => } }
   }
 
-  def readMeta(fs: FileSystem, outPath: String): IndexMeta = {
-    val latest = manifests(fs, outPath).lastOption.getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed manifest under $outPath"))
-    val in = fs.open(latest._2)
+  def readMeta(fs: FileSystem, outPath: String): IndexMeta =
+    readManifest(fs, outPath, manifests(fs, outPath).lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed manifest under $outPath"))._2)
+
+  /** read a RETAINED historical manifest (time-travel). Fails loudly when
+    * the version fell out of the retention window. */
+  def readMetaAt(fs: FileSystem, outPath: String, version: Long): IndexMeta = {
+    val all = manifests(fs, outPath)
+    val hit = all.find(_._1 == version).getOrElse(throw new java.io.FileNotFoundException(
+      s"manifest version $version not retained under $outPath " +
+        s"(retained: ${all.map(_._1).mkString(",")}; retention keeps the " +
+        s"newest $ManifestRetain commits)"))
+    readManifest(fs, outPath, hit._2)
+  }
+
+  private def readManifest(fs: FileSystem, outPath: String, manifestPath: Path): IndexMeta = {
+    val in = fs.open(manifestPath)
     val json = try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)

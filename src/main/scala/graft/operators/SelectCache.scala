@@ -43,7 +43,6 @@ final class SelectCache(capacity: Int = 100) {
       req.limit >= 0
 
   private def keyOf(idx: GraftIndex, req: Select.Request): Key = {
-    val fs = SegmentCatalog.fileSystem(idx.spark, idx.path)
     // length-prefix every field AND every sortKeys element: unambiguous even
     // when a field contains the join character (a bare concat would let
     // "a"|1|23 collide with "a"|12|3, and Seq("a,b") with Seq("a","b"))
@@ -53,7 +52,7 @@ final class SelectCache(capacity: Int = 100) {
       sortNorm, req.offset.toString, req.limit.toString,
       req.filterScript.getOrElse(""), req.allowLeadingNot.toString)
       .map(f => s"${f.length}:$f").mkString("|")
-    Key(idx.path, SegmentCatalog.snapshotVersion(fs, idx.path), norm)
+    Key(idx.path, idx.snapshotId, norm)
   }
 
   /** select through the cache; uncacheable requests fall through */

@@ -206,6 +206,29 @@ class IndexSpec extends AnyFunSuite {
     assert(viaKernel == viaJoin)
   }
 
+  test("index diff: zero against own source, detects drift, respects tombstones") {
+    import org.apache.spark.sql.functions.col
+    val docs = WebCorpus.generate(spark, nDocs, partitions = 4)
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val clean = row(index.diffAgainst(docs, "doc_id", "text"))
+    assert(clean._1 > 0 && clean._1 == clean._2, s"expected==actual: $clean")
+    assert(clean._3 == 0 && clean._4 == 0 && clean._5 == 0, s"clean diff: $clean")
+    // drift detection: drop a source doc -> its postings become "remains"
+    val drift = row(index.diffAgainst(docs.where(col("doc_id") =!= 0L), "doc_id", "text"))
+    assert(drift._4 > 0, s"missing source doc must surface as remains: $drift")
+    // tombstoned index vs filtered source: still a clean diff
+    val p = s"$tmp/idx-diff"
+    IndexBuilder.build(spark, docs, "doc_id", "text", p, cfg)
+    val deleted = graft.streaming.IncrementalIndex.delete(spark, p, Seq(1L, 3L))
+    val afterDel = row(deleted.diffAgainst(
+      docs.where(!col("doc_id").isin(1L, 3L)), "doc_id", "text"))
+    assert(afterDel._3 == 0 && afterDel._4 == 0 && afterDel._5 == 0,
+      s"tombstone-filtered diff must be clean: $afterDel")
+  }
+
   test("regexp literal-prefix extraction is conservative and sound") {
     import graft.index.GraftIndex.regexpLiteralPrefix
     assert(regexpLiteralPrefix("^qu.*y$") == "qu")

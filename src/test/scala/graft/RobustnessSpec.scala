@@ -67,25 +67,33 @@ class RobustnessSpec extends AnyFunSuite {
     assert(exp.toSet == naive.df.keySet.filter(_.startsWith("ka")))
   }
 
-  test("manifest recommits are versioned: one survivor, last wins, tmp ignored") {
+  test("manifest recommits are versioned: retained window, last wins, tmp ignored") {
     val path = s"$tmp/idx"
     val fs = SegmentCatalog.fileSystem(spark, path)
     idx // force build + append (>= 2 commits already happened)
-    val names = fs.listStatus(new Path(path)).map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest") && n.endsWith(".json"))
-    assert(names.length == 1, s"exactly one committed manifest, got ${names.toSeq}")
+    def names = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest") && n.endsWith(".json")).sorted.toSeq
+    val before = names
+    assert(before.nonEmpty && before.length <= SegmentCatalog.ManifestRetain,
+      s"retained window, got $before")
     // a leftover .tmp from a crashed commit must not confuse the reader
     val junk = new Path(path, "manifest-999999.json.tmp")
     val out = fs.create(junk, true); out.write("{}".getBytes("UTF-8")); out.close()
     val meta = SegmentCatalog.readMeta(fs, path)
     assert(meta.nDocs == naive.nDocs)
     fs.delete(junk, false)
-    // recommit bumps the version and removes the predecessor
+    // recommit bumps the version; predecessors stay retained (time travel)
+    // up to ManifestRetain, and the READ path always takes the newest
     SegmentCatalog.commit(fs, path, meta, Map("noop" -> "recommit"))
-    val after = fs.listStatus(new Path(path)).map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest") && n.endsWith(".json"))
-    assert(after.length == 1)
-    assert(after.head > names.head, "version must ascend")
+    val after = names
+    assert(after.length == math.min(before.length + 1, SegmentCatalog.ManifestRetain))
+    assert(after.last > before.last, "version must ascend")
+    assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
+    // far past the window: only the newest ManifestRetain survive
+    (0 until SegmentCatalog.ManifestRetain + 2).foreach { i =>
+      SegmentCatalog.commit(fs, path, meta, Map("noop" -> s"spin$i"))
+    }
+    assert(names.length == SegmentCatalog.ManifestRetain, s"GC to window: $names")
     assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
   }
 
@@ -102,9 +110,15 @@ class RobustnessSpec extends AnyFunSuite {
     fs.delete(cur, false)
     assert(SegmentCatalog.isCommitted(fs, path))
     assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
-    // a fresh commit supersedes the legacy file and cleans it up
+    // a fresh commit supersedes the legacy file for READS immediately (it
+    // sorts as version -1); retention GCs it once it leaves the window
     SegmentCatalog.commit(fs, path, meta, Map("noop" -> "upgrade"))
-    assert(!fs.exists(legacy), "legacy manifest removed after versioned commit")
+    assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
+    assert(SegmentCatalog.listVersions(fs, path).last >= 0, "versioned head wins")
+    (0 until SegmentCatalog.ManifestRetain).foreach { i =>
+      SegmentCatalog.commit(fs, path, meta, Map("noop" -> s"spin$i"))
+    }
+    assert(!fs.exists(legacy), "legacy manifest GC'd once outside the retention window")
     assert(SegmentCatalog.readMeta(fs, path).nDocs == meta.nDocs)
   }
 

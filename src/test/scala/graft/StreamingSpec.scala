@@ -306,4 +306,46 @@ class StreamingSpec extends AnyFunSuite {
       compacted.searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
       == before - victim)
   }
+
+  test("time travel: retained snapshots replay history; compact expires them loudly") {
+    val p = s"$tmp/idx-tt"
+    val all = WebCorpus.generate(spark, nBase + 40, 4)
+    IndexBuilder.build(spark, all.where(col("doc_id") < nBase), "doc_id", "text", p, cfg)
+    val v0 = GraftIndex.versions(spark, p).last
+    val term = topTerms.head
+    def scoresAt(v: Long): Map[Long, Double] = collectScores(
+      GraftIndex.atVersion(spark, p, v).searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+    val base = collectScores(
+      GraftIndex(spark, p).searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+    IncrementalIndex.appendSegment(spark, p,
+      all.where(col("doc_id") >= nBase), "doc_id", "text", "seg-tt", cfg)
+    val v1 = GraftIndex.versions(spark, p).last
+    val victims = base.keys.toSeq.sorted.take(2)
+    IncrementalIndex.delete(spark, p, victims)
+    val v2 = GraftIndex.versions(spark, p).last
+    assert(GraftIndex.versions(spark, p) == Seq(v0, v1, v2))
+    // each snapshot answers with ITS state: pre-append, post-append,
+    // post-delete — and the pinned handles don't disturb the live head
+    assert(scoresAt(v0) == base)
+    val appended = scoresAt(v1)
+    assert(appended.view.filterKeys(_ < nBase).toMap == base,
+      "append must not change pre-existing docs' scores")
+    assert(appended.keySet.forall(k => k < nBase + 40))
+    assert(scoresAt(v2) == appended -- victims)
+    val live = collectScores(
+      GraftIndex(spark, p).searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
+    assert(live == scoresAt(v2))
+    // pinned handles key the select cache on their own version
+    assert(GraftIndex.atVersion(spark, p, v0).snapshotId !=
+      GraftIndex(spark, p).snapshotId)
+    // compaction IS snapshot expiry: the folded-away snapshot now fails
+    // at open time, loudly; the new head still reads
+    IncrementalIndex.compact(spark, p, cfg)
+    val e = intercept[java.io.FileNotFoundException] {
+      GraftIndex.atVersion(spark, p, v1)
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("not retained"))
+    assert(collectScores(GraftIndex(spark, p)
+      .searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf)) == live)
+  }
 }
