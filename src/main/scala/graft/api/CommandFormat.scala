@@ -121,6 +121,107 @@ object CommandFormat {
     s"""{"n_hits":$nHits,"columns":$cols,"records":$recs}"""
   }
 
+  // ---- XML output (output_type=xml). The reference produces it by
+  // transforming the JSON-ish intermediate through transform_xml
+  // (lib/output.c:3005-3260): RESULTSET 0 becomes the RESULTPAGE, each
+  // drilldown RESULTSET becomes a NAVIGATIONENTRY of self-closing
+  // NAVIGATIONELEMENT attribute rows. Escaping = grn_text_escape_xml
+  // (lib/str.c:2738: only " < > &); offset/limit clamped by
+  // grn_output_range_normalize (lib/output.c:71). ----
+
+  private def escXml(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("&quot;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '&' => sb.append("&amp;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** value TEXT inside XML: scalars as the intermediate's own text
+    * (numbers/bools via the JSON renderer, strings unquoted+escaped),
+    * vectors joined ", ", weight vectors "key:value, ..." — the exact
+    * joins transform_xml applies (lib/output.c:3120-3145). */
+  private def xmlValue(v: Any): String = v match {
+    case null => ""
+    case s: String => escXml(s)
+    case a: Array[Byte] => java.util.Base64.getEncoder.encodeToString(a)
+    case a: Array[_] => a.map(xmlValue).mkString(", ")
+    case s: scala.collection.Seq[_] => s.map(xmlValue).mkString(", ")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${escXml(String.valueOf(k))}:${xmlValue(x)}" }
+        .mkString(", ")
+    case other => escXml(jsonValue(other).stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** grn_output_range_normalize (lib/output.c:71): negative limit counts
+    * from the end (+size+1), negative offset from the end (+size);
+    * out-of-range collapses to (0, 0) like the reference's error paths. */
+  def rangeNormalize(size: Int, offset0: Int, limit0: Int): (Int, Int) = {
+    var off = offset0
+    var lim = limit0
+    if (lim < 0) { lim += size + 1; if (lim < 0) return (0, 0) }
+    else if (lim > size) lim = size
+    if (off < 0) {
+      off += size
+      if (off < 0) {
+        if (lim + off >= 0) { lim += off; off = 0 } else return (0, 0)
+      }
+    } else if (off != 0 && off >= size) return (0, 0)
+    val end = off + lim
+    if (end > size) lim -= end - size
+    (off, lim)
+  }
+
+  /** full select result as the reference XML page. `df` carries the
+    * already-offset/limited rows; `offset`/`limit` are the COMMAND's raw
+    * values (they only shape the header attributes and HIT numbering,
+    * exactly like the reference, where the rows were windowed upstream). */
+  def xml(df: DataFrame, nHits: Long, offset: Int = 0, limit: Int = 10,
+      drilldowns: Seq[(DataFrame, Long)] = Nil, maxRows: Int = 10000): String = {
+    val (off, lim) = rangeNormalize(nHits.toInt, offset, limit)
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"result exceeds maxRows=$maxRows — apply the command's limit before formatting")
+    val sb = new java.lang.StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+      .append("<SEGMENTS>\n<SEGMENT>\n<RESULTPAGE>\n")
+      .append(s"""<RESULTSET OFFSET="$off" LIMIT="$lim" NHITS="$nHits">\n""")
+    val names = df.schema.fieldNames
+    var i = 0
+    rows.foreach { r =>
+      sb.append(s"""<HIT NO="${off + 1 + i}">\n""")
+      var c = 0
+      while (c < names.length) {
+        sb.append(s"""<FIELD NAME="${escXml(names(c))}">${xmlValue(r.get(c))}</FIELD>\n""")
+        c += 1
+      }
+      sb.append("</HIT>\n")
+      i += 1
+    }
+    sb.append("</RESULTSET>\n")
+    drilldowns.foreach { case (dd, n) =>
+      sb.append("<NAVIGATIONENTRY>\n")
+        .append(s"""<NAVIGATIONELEMENTS COUNT="$n">\n""")
+      val dnames = dd.schema.fieldNames
+      dd.take(maxRows).foreach { r =>
+        sb.append("<NAVIGATIONELEMENT ")
+        var c = 0
+        while (c < dnames.length) {
+          sb.append(s"""${dnames(c)}="${xmlValue(r.get(c))}" """)
+          c += 1
+        }
+        sb.append("/>\n")
+      }
+      sb.append("</NAVIGATIONELEMENTS>\n</NAVIGATIONENTRY>\n")
+    }
+    sb.append("</RESULTPAGE>\n</SEGMENT>\n</SEGMENTS>\n")
+    sb.toString
+  }
+
   /** v3 envelope. Drilldowns nest INSIDE the body as a labeled object —
     * in v3 even plain (positional) drilldowns are keyed by their column
     * name (the reference golden keys the `--drilldown tag` result as

@@ -93,4 +93,48 @@ class CommandFormatSpec extends AnyFunSuite {
     assert(body.contains("null,null"), body)
     assert(!body.toLowerCase.contains("list") && !body.contains("NaN"))
   }
+
+  test("xml page matches the transform_xml target shape (golden)") {
+    val df = Seq(("Groonga", 1), ("say <\"&hi\">", 2)).toDF("_key", "_score")
+    val dd = Seq(("x", 3L)).toDF("_key", "_nsubrecs")
+    val got = CommandFormat.xml(df, nHits = 2, offset = 0, limit = 10,
+      drilldowns = Seq((dd, 1L)))
+    val want =
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+      "<SEGMENTS>\n<SEGMENT>\n<RESULTPAGE>\n" +
+      "<RESULTSET OFFSET=\"0\" LIMIT=\"2\" NHITS=\"2\">\n" +
+      "<HIT NO=\"1\">\n" +
+      "<FIELD NAME=\"_key\">Groonga</FIELD>\n" +
+      "<FIELD NAME=\"_score\">1</FIELD>\n" +
+      "</HIT>\n" +
+      "<HIT NO=\"2\">\n" +
+      "<FIELD NAME=\"_key\">say &lt;&quot;&amp;hi&quot;&gt;</FIELD>\n" +
+      "<FIELD NAME=\"_score\">2</FIELD>\n" +
+      "</HIT>\n" +
+      "</RESULTSET>\n" +
+      "<NAVIGATIONENTRY>\n" +
+      "<NAVIGATIONELEMENTS COUNT=\"1\">\n" +
+      "<NAVIGATIONELEMENT _key=\"x\" _nsubrecs=\"3\" />\n" +
+      "</NAVIGATIONELEMENTS>\n</NAVIGATIONENTRY>\n" +
+      "</RESULTPAGE>\n</SEGMENT>\n</SEGMENTS>\n"
+    assert(got == want, got)
+  }
+
+  test("xml HIT numbering starts at offset+1; vectors join with ', '") {
+    val df = Seq((Seq("a", "b"), 7)).toDF("tags", "n")
+    val got = CommandFormat.xml(df, nHits = 12, offset = 5, limit = 1)
+    assert(got.contains("<RESULTSET OFFSET=\"5\" LIMIT=\"1\" NHITS=\"12\">"), got)
+    assert(got.contains("<HIT NO=\"6\">"), got)
+    assert(got.contains("<FIELD NAME=\"tags\">a, b</FIELD>"), got)
+  }
+
+  test("rangeNormalize replicates grn_output_range_normalize") {
+    import CommandFormat.rangeNormalize
+    assert(rangeNormalize(10, 0, -1) == (0, 10))   // limit -1 = all
+    assert(rangeNormalize(10, 0, 99) == (0, 10))   // clamp to size
+    assert(rangeNormalize(10, -3, 5) == (7, 3))    // offset from end, end-clamped
+    assert(rangeNormalize(10, 12, 5) == (0, 0))    // too-large offset
+    assert(rangeNormalize(10, 0, -20) == (0, 0))   // too-small limit
+    assert(rangeNormalize(10, 8, 5) == (8, 2))     // end clamp
+  }
 }
