@@ -62,6 +62,13 @@ object Demo {
     println(s"[demo] upsert: doc $victim no longer matches 'spark': " +
       s"${after.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 0}")
 
+    // time travel: the pre-upsert snapshot still answers with the OLD doc
+    val vers = GraftIndex.versions(spark, out)
+    val pinned = GraftIndex.atVersion(spark, out, vers.dropRight(2).last)
+    println(s"[demo] time travel: ${vers.length} retained snapshots; " +
+      s"pre-upsert snapshot still matches 'spark' on doc $victim: " +
+      s"${pinned.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 1}")
+
     // html ingestion front: real pages (tags + char refs) -> NormalizerHTML
     // extraction -> byte-identical text per url (the input-hint invariant)
     {
