@@ -54,6 +54,7 @@ object Demo {
     // delete + upsert round-trip on the live index (same ids, new text)
     val victim = index.searchTerms(Seq("spark")).select("doc_id")
       .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val preUpsertV = GraftIndex.versions(spark, out).last
     graft.streaming.IncrementalIndex.upsert(spark, out,
       spark.createDataFrame(Seq((victim, "graftdemo upserted text"))).toDF("doc_id", "text"),
       "doc_id", "text", "seg-demo-upsert")
@@ -64,7 +65,7 @@ object Demo {
 
     // time travel: the pre-upsert snapshot still answers with the OLD doc
     val vers = GraftIndex.versions(spark, out)
-    val pinned = GraftIndex.atVersion(spark, out, vers.dropRight(2).last)
+    val pinned = GraftIndex.atVersion(spark, out, preUpsertV)
     println(s"[demo] time travel: ${vers.length} retained snapshots; " +
       s"pre-upsert snapshot still matches 'spark' on doc $victim: " +
       s"${pinned.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 1}")

@@ -207,11 +207,14 @@ object CommandFormat {
       sb.append("<NAVIGATIONENTRY>\n")
         .append(s"""<NAVIGATIONELEMENTS COUNT="$n">\n""")
       val dnames = dd.schema.fieldNames
-      dd.take(maxRows).foreach { r =>
+      val drows = dd.take(maxRows + 1)
+      require(drows.length <= maxRows,
+        s"drilldown exceeds maxRows=$maxRows — apply its limit before formatting")
+      drows.foreach { r =>
         sb.append("<NAVIGATIONELEMENT ")
         var c = 0
         while (c < dnames.length) {
-          sb.append(s"""${dnames(c)}="${xmlValue(r.get(c))}" """)
+          sb.append(s"""${escXml(dnames(c))}="${xmlValue(r.get(c))}" """)
           c += 1
         }
         sb.append("/>\n")

@@ -565,42 +565,39 @@ final case class GraftIndex(spark: SparkSession, path: String,
     * scale path when a dictionary expansion (regexp, loose prefix) exceeds
     * the driver-side cap: postings ⋈ matching-terms stays distributed, score
     * = Σ tf. Identical results to searchTerms(expanded, Any, Tf). */
-  def searchTermsTfByJoin(matching: DataFrame): DataFrame = {
-    val joined = postings
-      .join(matching.select(col("term").as("term")).distinct(), Seq("term"))
-      .as[PostingBlockRow]
-    val perPosting = joined.flatMap { b =>
+  def searchTermsTfByJoin(matching: DataFrame): DataFrame =
+    decodedAlive(postings
+        .join(matching.select(col("term").as("term")).distinct(), Seq("term"))
+        .as[PostingBlockRow])
+      .drop("term") // keep the groupBy exchange to fixed-width rows
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("double").as("score"))
+
+  /** decode posting blocks into live (term, doc_id, tf, seg_ord) rows —
+    * the ONE place the block decode meets the tombstone generation filter
+    * (searchTermsTfByJoin and decodedPostings both build on it, so
+    * tombstone semantics cannot diverge between search and export). */
+  private def decodedAlive(blocks: Dataset[PostingBlockRow]): DataFrame = {
+    val per = blocks.flatMap { b =>
       val d = graft.codec.PostingCodec.decode(b.payload)
-      (0 until d.count).iterator.map(i => (d.docIds(i), d.tfs(i).toLong, b.seg_ord))
-    }.toDF("doc_id", "tf", "seg_ord")
-    val alive = deletesDf match {
-      case None => perPosting
+      (0 until d.count).iterator.map(i => (b.term, d.docIds(i), d.tfs(i).toLong, b.seg_ord))
+    }.toDF("term", "doc_id", "tf", "seg_ord")
+    deletesDf match {
+      case None => per
       case Some(d) =>
         val dg = d.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
-        perPosting.join(broadcast(dg), Seq("doc_id"), "left")
+        per.join(broadcast(dg), Seq("doc_id"), "left")
           .where(col("gen").isNull || col("seg_ord") >= col("gen"))
+          .drop("gen")
     }
-    alive.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).cast("double").as("score"))
   }
 
   /** Full decoded postings view (term, doc_id, tf): tombstone-filtered,
     * section-summed — the export / consistency-audit surface. Distributed
     * end to end (block decode is a flatMap over the postings scan). */
-  def decodedPostings: DataFrame = {
-    val per = postings.as[PostingBlockRow].flatMap { b =>
-      val d = graft.codec.PostingCodec.decode(b.payload)
-      (0 until d.count).iterator.map(i => (b.term, d.docIds(i), d.tfs(i).toLong, b.seg_ord))
-    }.toDF("term", "doc_id", "tf", "seg_ord")
-    val alive = deletesDf match {
-      case None => per
-      case Some(dd) =>
-        val dg = dd.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
-        per.join(broadcast(dg), Seq("doc_id"), "left")
-          .where(col("gen").isNull || col("seg_ord") >= col("gen"))
-    }
-    alive.groupBy(col("term"), col("doc_id")).agg(sum(col("tf")).as("tf"))
-  }
+  def decodedPostings: DataFrame =
+    decodedAlive(postings.as[PostingBlockRow])
+      .groupBy(col("term"), col("doc_id")).agg(sum(col("tf")).as("tf"))
 
   /** index↔source consistency audit (the `index_column_diff` command,
     * /root/reference/lib/proc/proc_index_column.c:40 /
@@ -788,6 +785,20 @@ object GraftIndex {
       s"snapshot $version of $path is expired: compaction deleted " +
         s"segment(s) it references (${missing.mkString(", ")}); only " +
         "snapshots newer than the last compact()/compactPartial() are readable")
+    // recycled-name guard: engine-generated names embed the (monotonic)
+    // manifest version so they are never reused, but caller-chosen append
+    // names and legacy count-derived names can be. If a segment name the
+    // snapshot recorded ALSO appears in the head manifest with different
+    // stats, the directory was replaced after this snapshot — the bytes
+    // on disk are not the ones it recorded.
+    val headStats = SegmentCatalog.readMeta(fs, path)
+      .segStats.map(s => s.name -> s).toMap
+    val recycled = idx.meta.segStats.filter(s =>
+      headStats.get(s.name).exists(h => h != s))
+    if (recycled.nonEmpty) throw new java.io.FileNotFoundException(
+      s"snapshot $version of $path is expired: segment(s) " +
+        s"${recycled.map(_.name).mkString(", ")} were rewritten under the " +
+        "same name after this snapshot (stats differ from the live manifest)")
     idx
   }
 

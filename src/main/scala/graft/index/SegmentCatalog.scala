@@ -56,6 +56,16 @@ object SegmentCatalog {
   def listVersions(fs: FileSystem, outPath: String): Seq[Long] =
     manifests(fs, outPath).map(_._1)
 
+  /** The version the NEXT commit will get. Strictly monotonic over an
+    * index's whole life (the newest manifest is always retained, so the
+    * counter never resets) — mutation code derives generated segment
+    * names from it so a name is NEVER recycled: a retained historical
+    * manifest can then trust that an existing directory with the name it
+    * recorded still holds the bytes it recorded (the soundness basis of
+    * GraftIndex.atVersion's open-time validation). */
+  def nextVersion(fs: FileSystem, outPath: String): Long =
+    manifests(fs, outPath).lastOption.map(_._1 + 1).getOrElse(0L)
+
   /** opaque snapshot marker: changes with every commit (the latest manifest
     * file name) — cache-invalidation key for query-result caches */
   def snapshotVersion(fs: FileSystem, outPath: String): String =

@@ -119,7 +119,11 @@ object IncrementalIndex {
       s"delete requires a committed index at $indexPath")
     val meta = SegmentCatalog.readMeta(fs, indexPath)
     val gen = dataSegCount(meta)
-    val name = f"del-${meta.deleteSegments.length}%05d"
+    // name carries the next manifest version: unique across the index's
+    // WHOLE history (a count-derived name recycles after a compaction
+    // resets the list, which would let an expired snapshot read a
+    // recreated dir with different tombstones — see GraftIndex.atVersion)
+    val name = f"del-m${SegmentCatalog.nextVersion(fs, indexPath)}%06d"
     val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
     // corpus stats stay EXACT across deletes: subtract only docs that are
     // currently LIVE (idempotent — GraftIndex.docs already excludes
@@ -229,10 +233,10 @@ object IncrementalIndex {
     val shufflePartitions = if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val ver = 1 + meta.segments.collect {
-      case s if s.startsWith("base-v") => s.stripPrefix("base-v").toInt
-    }.foldLeft(0)(math.max)
-    val dstName = s"base-v$ver"
+    // manifest-version-derived: never recycled across the index's history
+    // (a count-derived base-vN could be recreated after later compactions,
+    // silently invalidating retained snapshots that referenced the old one)
+    val dstName = s"base-m${SegmentCatalog.nextVersion(fs, indexPath)}"
     val dst = s"$indexPath/$dstName"
     fs.delete(new Path(dst), true)
 
@@ -401,13 +405,15 @@ object IncrementalIndex {
     val folds = runs.filter(r => r.exists(_.touched) || r.length >= 2).toSeq
     if (folds.isEmpty && meta.deleteSegments.isEmpty) return idx // nothing to do
 
-    val FoldName = """fold-(\d+)-\d+""".r
-    val gen = 1 + segs.collect { case FoldName(g) => g.toInt }.foldLeft(0)(math.max)
+    // generation = next manifest version: globally unique fold names (the
+    // old max-over-current-segments counter recycled names once folds were
+    // themselves folded away — fatal for retained-snapshot validation)
+    val gen = SegmentCatalog.nextVersion(fs, indexPath)
     val tombBc = spark.sparkContext.broadcast((td, tg))
     val mergeCfg = cfg.copy(withPositions = meta.withPositions, blockSize = meta.blockSize)
 
     val foldNames: Map[Int, String] = folds.zipWithIndex.map { case (run, k) =>
-      val dstName = s"fold-$gen-$k"
+      val dstName = s"fold-m$gen-$k"
       val dst = s"$indexPath/$dstName"
       fs.delete(new Path(dst), true)
       val ords = run.map(_.ord)

@@ -116,7 +116,12 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val evalGrams = hashedShingles(evalDocs, idCol, textCol, n).select("h")
+    // hashedShingles is distinct per (id, h) only — collapse to the
+    // h-distinct set (what both consumers key on), and materialize it ONCE
+    // (localCheckpoint): the bloom aggregate and the confirm semi-join
+    // would otherwise each re-run the eval tokenize+hash pipeline
+    val evalGrams = hashedShingles(evalDocs, idCol, textCol, n)
+      .select("h").distinct().localCheckpoint()
     val bloomAgg = column(new BloomFilterAggregate(expression(col("h")),
       Literal(estimatedEvalGrams), Literal(numBits)).toAggregateExpression())
     // the sketch is numBits/8 bytes REGARDLESS of eval size — this head()

@@ -67,7 +67,9 @@ class StreamingSpec extends AnyFunSuite {
     val before = collectScores(
       appendedIndex.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
     val compacted = IncrementalIndex.compact(spark, s"$tmp/idx", cfg)
-    assert(compacted.meta.segments == Seq("base-v1"), "versioned base pointer")
+    assert(compacted.meta.segments.length == 1 &&
+      compacted.meta.segments.head.startsWith("base-m"),
+      s"versioned base pointer, got ${compacted.meta.segments}")
     assert(compacted.meta.deleteSegments.isEmpty)
     val after = collectScores(
       compacted.searchTerms(terms, MatchMode.All, ScoreMode.Bm25()))
@@ -142,7 +144,8 @@ class StreamingSpec extends AnyFunSuite {
 
     // base (~30k postings) stays; the two small appends + tombstones fold
     val pc = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
-    assert(pc.meta.segments == Seq(".", "fold-1-0"), s"got ${pc.meta.segments}")
+    assert(pc.meta.segments.length == 2 && pc.meta.segments.head == "." &&
+      pc.meta.segments(1).startsWith("fold-m"), s"got ${pc.meta.segments}")
     assert(pc.meta.deleteSegments.isEmpty, "tombstones must be consumed")
     assert(sha(s"$p/postings") == basePostingsBefore, "base postings rewritten!")
     assert(sha(s"$p/docs") == baseDocsBefore, "base docs rewritten!")
@@ -177,7 +180,10 @@ class StreamingSpec extends AnyFunSuite {
     IncrementalIndex.delete(spark, p, Seq(7L))
     val pc2 = IncrementalIndex.compactPartial(spark, p, cfg, minKeepPostings = 10000L)
     assert(pc2.meta.deleteSegments.isEmpty)
-    assert(pc2.meta.segments == Seq("fold-2-0"), s"got ${pc2.meta.segments}")
+    assert(pc2.meta.segments.length == 1 &&
+      pc2.meta.segments.head.startsWith("fold-m") &&
+      pc2.meta.segments != pc.meta.segments.tail, // fresh name, not recycled
+      s"got ${pc2.meta.segments}")
     val a2 = collectScores(pc2.searchTerms(terms, MatchMode.All, ScoreMode.Tf))
     val b2 = collectScores(IndexBuilder.build(spark,
       all.where(!col("doc_id").isin((victims :+ 7L): _*)), "doc_id", "text",
@@ -305,6 +311,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectScores(
       compacted.searchTerms(Seq(term), MatchMode.Any, ScoreMode.Tf))
       == before - victim)
+  }
+
+  test("generated segment names are never recycled across compactions") {
+    val p = s"$tmp/idx-recycle"
+    val all = WebCorpus.generate(spark, nBase, 4)
+    IndexBuilder.build(spark, all, "doc_id", "text", p, cfg)
+    val d1 = IncrementalIndex.delete(spark, p, Seq(2L))
+    val name1 = d1.meta.deleteSegments.head
+    val snapV = GraftIndex.versions(spark, p).last
+    // partial compaction consumes the tombstones (base is tombstone-touched)
+    val pc = IncrementalIndex.compactPartial(spark, p, cfg,
+      minKeepPostings = Long.MaxValue)
+    assert(pc.meta.deleteSegments.isEmpty)
+    // a NEW delete must get a FRESH name — the old count-derived scheme
+    // would recreate name1 here and silently corrupt the retained snapshot
+    val d2 = IncrementalIndex.delete(spark, p, Seq(5L))
+    val name2 = d2.meta.deleteSegments.head
+    assert(name2 != name1, s"recycled tombstone segment name $name2")
+    // and the old snapshot fails loudly (its del dir is gone), instead of
+    // silently applying the new tombstones
+    intercept[java.io.FileNotFoundException] {
+      GraftIndex.atVersion(spark, p, snapV)
+    }
   }
 
   test("time travel: retained snapshots replay history; compact expires them loudly") {
