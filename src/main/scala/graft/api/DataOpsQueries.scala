@@ -106,6 +106,41 @@ object DataOpsQueries {
     """SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS kept_id
       |FROM reach GROUP BY 1 HAVING min(r) <> id ORDER BY 1""".stripMargin
 
+  /** canonical selection: per near-dup cluster keep the member with the
+    * best quality score (ties -> smallest id) — Dedup.keepBest over the
+    * LSH components and TextAnalysis.quality */
+  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rows = 4, threshold = 0.8), "doc_a", "doc_b")
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    Dedup.keepBest(comps, q, "doc_id", "quality")
+      .select(col("id").as("doc_id"), col("comp").as("component"), col("kept_id"))
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepBestSql: String = componentsProlog(dedupMinhashLshSql) +
+    """, comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      |    FROM reach GROUP BY 1),
+      |qbase AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    length(text) AS n_chars FROM documents),
+      |qf AS (SELECT doc_id,
+      |    floor((0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+      |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      |      + 0.2 * (1.0 - abs((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) - 5.0) / 5.0))
+      |      * 10000) / 10000.0 AS quality
+      |  FROM qbase),
+      |ranked AS (SELECT c.doc_id, c.component,
+      |    row_number() OVER (PARTITION BY c.component
+      |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      |  FROM comp c JOIN qf q USING (doc_id)),
+      |kept AS (SELECT component, doc_id AS kid FROM ranked WHERE rn = 1)
+      |SELECT c.doc_id, c.component, CAST(k.kid AS BIGINT) AS kept_id
+      |FROM comp c JOIN kept k USING (component) ORDER BY c.doc_id""".stripMargin
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.table(spark, dir, "documents"), "doc_id", "text",
         n = 3, bands = 4, rows = 4, threshold = 0.8)
@@ -957,7 +992,8 @@ object DataOpsQueries {
     "mix_sample" -> mixSampleQ,
     "seq_pack" -> seqPackQ,
     "dedup_components" -> dedupComponentsQ,
-    "dedup_drop_list" -> dedupDropListQ)
+    "dedup_drop_list" -> dedupDropListQ,
+    "dedup_keep_best" -> dedupKeepBestQ)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -997,5 +1033,6 @@ object DataOpsQueries {
     "mix_sample" -> mixSampleSql,
     "seq_pack" -> seqPackSql,
     "dedup_components" -> dedupComponentsSql,
-    "dedup_drop_list" -> dedupDropListSql)
+    "dedup_drop_list" -> dedupDropListSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }

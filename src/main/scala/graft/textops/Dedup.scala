@@ -421,6 +421,26 @@ object Dedup {
     * beyond the per-round converged? scalar. Lineage is cut per round
     * (localCheckpoint) — an iterative plan would otherwise double in
     * depth every round. */
+  /** Canonical selection per dedup cluster: among each component's
+    * members, KEEP the one with the best `scoreCol` (ties → smallest id)
+    * — the quality-aware upgrade of the min-id drop list (production
+    * pipelines keep the best copy of a near-dup cluster, not the
+    * first-seen one). Deterministic argmax via max(struct(score, -id));
+    * one groupBy plus a join that reuses the same component-key
+    * partitioning — no extra corpus-wide exchange beyond the drop list's.
+    * Input `components` is [[connectedComponents]] output (id, comp);
+    * output: (id, comp, kept_id) for every clustered doc. */
+  def keepBest(components: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = components.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("kb_score")), Seq("id"))
+    val kept = joined.groupBy(col("comp"))
+      .agg(max(struct(col("kb_score").as("s"), (-col("id")).as("nid"))).as("best"))
+      .select(col("comp"), (-col("best").getField("nid")).as("kept_id"))
+    components.join(kept, Seq("comp"))
+      .select(col("id"), col("comp"), col("kept_id"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"),

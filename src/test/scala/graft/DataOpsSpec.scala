@@ -129,6 +129,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(none == Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("keepBest: best score wins per cluster, ties break to smallest id") {
+    import graft.textops.Dedup
+    // two clusters: {1,2,3} and {5,6}; 2 has the best score in the first;
+    // 5 and 6 tie in the second -> smallest id (5) kept
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (5L, 0.4), (6L, 0.4))
+      .toDF("doc_id", "q")
+    val got = Dedup.keepBest(comps, scores, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (5L, 5L, 5L), (6L, 5L, 5L)))
+  }
+
   test("dedupChunks: first occurrence wins, within-doc dups drop, full dup empties") {
     import graft.textops.Dedup
     // k=3 chunks; doc 1 = [A][B], doc 2 repeats chunk A twice (one within-
