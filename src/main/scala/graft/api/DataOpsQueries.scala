@@ -408,6 +408,26 @@ object DataOpsQueries {
 
   val annIvfTopKSql: String = annCosineTopKSql
 
+  /** IVF search after an INCREMENTAL append: the index is built over the
+    * even vec_ids only, the odd half arrives later via AnnIndex.append
+    * (frozen centroids, fresh sorted files). Probing all lists makes the
+    * result exactly the brute-force top-k over the WHOLE corpus — so the
+    * append path (assignment against persisted centroids, file layout,
+    * pushdown compatibility) is verified hash-exact end-to-end. */
+  def annIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivf-idx-append") { p =>
+      graft.ml.AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, nlist = 16)
+      graft.ml.AnnIndex.append(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", p)
+    }
+    graft.ml.AnnIndex.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 16, excludeId = Some(0L))
+  }
+
+  val annIvfAppendSql: String = annCosineTopKSql
+
   /** PQ persisted-index search. Re-ranking the WHOLE corpus makes the
     * result exactly the brute-force top-k — which the oracle checks
     * hash-exact, so codebook training, coding, the ADC lookup pass and
@@ -967,6 +987,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopK,
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_append" -> annIvfAppend,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_ivfpq_batch" -> annIvfPqBatch,
@@ -1008,6 +1029,7 @@ object DataOpsQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_ivf_append" -> annIvfAppendSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivfpq_batch" -> annIvfPqBatchSql,

@@ -115,6 +115,32 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/lists")
   }
 
+  /** Incremental add — the streaming-embedding ingestion path: new
+    * vectors are assigned to the EXISTING centroids and appended to the
+    * lists table as fresh sorted parquet files. Search code is unchanged:
+    * the `list_id IN (...)` pushdown prunes row groups per FILE, and the
+    * appended files carry the same (list_id, vec_id) sort, so their row
+    * groups prune exactly like the base build's. Centroids are
+    * intentionally frozen — classic IVF add semantics: list assignment
+    * stays valid, list balance drifts as the distribution moves, and the
+    * remedy is a periodic re-train + rebuild, not a per-batch re-train. */
+  def append(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+      filesPerList: Int = 1): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    require(cents.nonEmpty, s"no centroids at $path — build() first")
+    val bc = spark.sparkContext.broadcast(cents)
+    val nlist = cents.length
+    vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (assign(v, bc.value), id, v) }
+      .toDF("list_id", "vec_id", "vec")
+      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .sortWithinPartitions("list_id", "vec_id")
+      .write.mode("append").parquet(s"$path/lists")
+  }
+
   /** centroids ranked by distance to the query → the nprobe list ids */
   def probeLists(spark: SparkSession, path: String, query: Array[Float],
       nprobe: Int): Seq[Int] = {

@@ -53,6 +53,22 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"IVF nprobe=4/32 mean recall $mean < 0.9 ($recalls)")
   }
 
+  test("incremental append: exact at full probe, recall intact at small nprobe") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    AnnIndex.build(df.where($"vec_id" % 2 === 0), "vec_id", "embedding", p, nlist = 32)
+    AnnIndex.append(df.where($"vec_id" % 2 === 1), "vec_id", "embedding", p)
+    val q = vec(5, 9)
+    // full probe over base+appended = brute force over the WHOLE corpus
+    val got = AnnIndex.search(spark, p, q, k = 10, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == bruteTop(q, 10, -1L))
+    // frozen-centroid assignment keeps pruned search useful post-append
+    val truth = bruteTop(q, 10, -1L).toSet
+    val pruned = AnnIndex.search(spark, p, q, k = 10, nprobe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((pruned & truth).size >= 9, s"post-append recall dropped: $pruned vs $truth")
+  }
+
   test("probe filter is pushed into the lists scan") {
     val q = vec(5, 5)
     val plan = AnnIndex.search(spark, idxPath, q, k = 5, nprobe = 2)
