@@ -470,6 +470,27 @@ object DataOpsQueries {
 
   val annIvfPqTopKSql: String = annCosineTopKSql
 
+  /** IVF+PQ after an INCREMENTAL append: model (centroids + codebooks)
+    * trained on the even half only, odd half appended with the frozen
+    * model; full probe + full rerank makes the result exactly the
+    * brute-force top-k over the whole corpus, so the append path's
+    * assignment, coding, and both appended tables verify hash-exact. */
+  def annIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivfpq-idx-append") { p =>
+      graft.ml.IvfPq.build(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
+      graft.ml.IvfPq.append(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", p)
+    }
+    val n = emb.count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
+    graft.ml.IvfPq.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 16, rerank = n.toInt, excludeId = Some(0L))
+  }
+
+  val annIvfPqAppendSql: String = annCosineTopKSql
+
   /** BATCH IVF+PQ: 5 query vectors, all lists probed + full-corpus rerank
     * (exact path — the code-only ADC join, per-query column LUT, float
     * fetch-back and double window rank verified hash-exact vs brute
@@ -988,6 +1009,7 @@ object DataOpsQueries {
     "ann_multiprobe_topk" -> annMultiprobeTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_append" -> annIvfAppend,
+    "ann_ivfpq_append" -> annIvfPqAppend,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_ivfpq_batch" -> annIvfPqBatch,
@@ -1030,6 +1052,7 @@ object DataOpsQueries {
     "ann_multiprobe_topk" -> annMultiprobeTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_append" -> annIvfAppendSql,
+    "ann_ivfpq_append" -> annIvfPqAppendSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivfpq_batch" -> annIvfPqBatchSql,

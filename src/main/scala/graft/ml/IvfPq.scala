@@ -88,6 +88,37 @@ object IvfPq {
     try os.write(meta.getBytes("UTF-8")) finally os.close()
   }
 
+  /** Incremental add — same frozen-model semantics as [[AnnIndex.append]]:
+    * new vectors are assigned against the persisted centroids, PQ-encoded
+    * with the persisted codebooks, and appended as fresh sorted files to
+    * BOTH the code lists and the exact-rerank vecs table. The model
+    * (centroids + codebooks) is intentionally frozen; re-train + rebuild
+    * is the periodic remedy for distribution drift. */
+  def append(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String, filesPerList: Int = 1): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (_, m, _, nlist) = readMeta(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids").as[AnnIndex.Centroid].collect()
+    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    require(cents.nonEmpty && books.nonEmpty, s"no model at $path — build() first")
+    val dim = cents(0).centroid.length
+    val sub = dim / m
+    val data = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("vec")).as[(Long, Array[Float])]
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcBooks = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
+    data.map { case (id, v) =>
+        (AnnIndex.assignList(v, bcCents.value), id, PqIndex.encode(v, bcBooks.value, m, sub))
+      }.toDF("list_id", "vec_id", "code")
+      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .sortWithinPartitions("list_id", "vec_id")
+      .write.mode("append").parquet(s"$path/lists")
+    data.toDF("vec_id", "vec")
+      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$path/vecs")
+  }
+
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
     val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "ivfpqmeta.json"))

@@ -57,6 +57,18 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got == bruteTop(q, 10, 7L))
   }
 
+  test("incremental append with frozen model stays exact at full probe + rerank") {
+    val p = s"$tmp/ivfpq-append"
+    val df = (0L until n).map(id => (id, vec(id).toSeq)).toDF("vec_id", "embedding")
+    IvfPq.build(df.where($"vec_id" % 2 === 0), "vec_id", "embedding", p,
+      nlist = 12, m = 8, kCent = 16)
+    IvfPq.append(df.where($"vec_id" % 2 === 1), "vec_id", "embedding", p)
+    val q = vec(7L)
+    val got = IvfPq.search(spark, p, q, k = 10, nprobe = 12, rerank = n,
+      excludeId = Some(7L)).collect().map(_.getLong(0)).toSeq
+    assert(got == bruteTop(q, 10, 7L))
+  }
+
   test("pruned probe recalls clustered neighbors (nprobe and rerank well below corpus)") {
     var hits = 0; var total = 0
     for (qid <- Seq(3L, 14L, 25L, 101L)) {
