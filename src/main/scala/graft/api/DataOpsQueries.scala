@@ -241,19 +241,25 @@ object DataOpsQueries {
     Similarity.cosineTopK(Tables.table(spark, dir, "embeddings"),
       "vec_id", "embedding", queryVec(spark, dir), k = 10, excludeId = Some(0L))
 
-  val annCosineTopKSql: String =
-    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      |scored AS (
-      |  SELECT vec_id,
-      |    list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
-      |    (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
-      |     sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
-      |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
-      |SELECT vec_id, round(cos, 4) AS cos FROM scored
-      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  /** brute-force cosine top-10 vs the vec_id=0 query over the rows
+    * `extraWhere` keeps — the shared exact oracle for every persisted-index
+    * gate (full-probe/full-rerank searches must hash-match it; the delete
+    * gates restrict it to the SURVIVING corpus) */
+  private def bruteCosineTopKSql(extraWhere: String): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) /
+       |    (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) *
+       |     sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0 AND $extraWhere)
+       |SELECT vec_id, round(cos, 4) AS cos FROM scored
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  val annCosineTopKSql: String = bruteCosineTopKSql("TRUE")
 
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(Tables.table(spark, dir, "embeddings"),
@@ -491,6 +497,79 @@ object DataOpsQueries {
 
   val annIvfPqAppendSql: String = annCosineTopKSql
 
+  /** IVF DELETE: build evens → append odds → tombstone every vec_id%7==3.
+    * Probing all lists makes the search exactly the brute-force top-k over
+    * the SURVIVING corpus — so the tombstone filter (generation semantics,
+    * max-gen fold, join placement before the score) is verified hash-exact
+    * end-to-end. Id-reuse (delete-then-append) and compaction equivalence
+    * are AnnIndexSpec territory. */
+  def annIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivf-idx-delete") { p =>
+      graft.ml.AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, nlist = 16)
+      graft.ml.AnnIndex.append(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", p)
+      graft.ml.AnnIndex.delete(spark, p,
+        emb.where(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+    }
+    graft.ml.AnnIndex.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 16, excludeId = Some(0L))
+  }
+
+  val annIvfDeleteSql: String = bruteCosineTopKSql("vec_id % 7 <> 3")
+
+  /** IVF+PQ DELETE + COMPACT: build evens → append odds → tombstone
+    * vec_id%7==3 → compact (folds the tombstones into fresh list/vec dirs
+    * behind the atomic state swap) → full-probe full-rerank search. The
+    * result must hash-match brute force over the survivors, so BOTH the
+    * tombstone-filtered candidate/fetch-back paths and the compacted
+    * rewrite verify against the same oracle. */
+  def annIvfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivfpq-idx-delete") { p =>
+      graft.ml.IvfPq.build(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
+      graft.ml.IvfPq.append(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", p)
+      graft.ml.IvfPq.delete(spark, p,
+        emb.where(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      graft.ml.IvfPq.compact(spark, p)
+    }
+    val n = emb.count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
+    graft.ml.IvfPq.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 16, rerank = n.toInt, excludeId = Some(0L))
+  }
+
+  val annIvfPqDeleteSql: String = bruteCosineTopKSql("vec_id % 7 <> 3")
+
+  /** IVF REBALANCE: centroids seeded from a 32-vector prefix (a model the
+    * rest of the corpus never trained — the worst-case skew a frozen-model
+    * append accumulates), the remaining corpus appended, vec_id%11==5
+    * tombstoned, then `rebalance()` re-trains centroids on the survivors
+    * and rewrites the lists (folding the tombstones) behind the atomic
+    * state swap. Full-probe search must hash-match brute force over the
+    * survivors — rebalance may move every vector between lists but can
+    * never lose, resurrect, or duplicate one. The recall@nprobe recovery
+    * and imbalance-metric drop are AnnIndexSpec territory. */
+  def annIvfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivf-idx-rebalance") { p =>
+      graft.ml.AnnIndex.build(emb.where(col("vec_id") < 32),
+        "vec_id", "embedding", p, nlist = 8)
+      graft.ml.AnnIndex.append(emb.where(col("vec_id") >= 32),
+        "vec_id", "embedding", p)
+      graft.ml.AnnIndex.delete(spark, p,
+        emb.where(col("vec_id") % 11 === 5).select("vec_id"), "vec_id")
+      graft.ml.AnnIndex.rebalance(spark, p, iters = 3)
+    }
+    graft.ml.AnnIndex.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 8, excludeId = Some(0L))
+  }
+
+  val annIvfRebalanceSql: String = bruteCosineTopKSql("vec_id % 11 <> 5")
+
   /** BATCH IVF+PQ: 5 query vectors, all lists probed + full-corpus rerank
     * (exact path — the code-only ADC join, per-query column LUT, float
     * fetch-back and double window rank verified hash-exact vs brute
@@ -698,16 +777,18 @@ object DataOpsQueries {
         n = 8, minDocs = 2)
       .orderBy("doc_id", "span_start")
 
-  /** same window/dup/gaps-and-islands pipeline in DuckDB: 8-token windows,
-    * duplicated = seen in >= 2 distinct docs, spans merged when the next
-    * start is within n of the previous. */
+  /** same window/dup/gaps-and-islands pipeline in DuckDB: 8-token windows
+    * keyed on their PolyHash (the engine's hashed shuffle key, replayed
+    * exactly), duplicated = seen in >= 2 distinct docs, spans merged when
+    * the next start is within n of the previous. */
   val dedupSubstringSql: String =
-    """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |wins AS (
-      |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS w
+      |  SELECT doc_id, i AS pos,
+      |    ${sqlPolyHash("array_to_string(toks[i:i+7], ' ')", 31)} AS h
       |  FROM tl, unnest(range(1, len(toks) - 6)) AS u(i)),
-      |dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
-      |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+      |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
       |isl AS (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
@@ -923,12 +1004,12 @@ object DataOpsQueries {
       .orderBy("doc_id")
 
   val mixSampleSql: String =
-    """SELECT doc_id, source,
-      |  CAST(CAST(substr(source, 4) AS INT) * 5 AS BIGINT) AS rate
-      |FROM documents
-      |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
-      |      < CAST(substr(source, 4) AS INT) * 5
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, source,
+       |  CAST(CAST(substr(source, 4) AS INT) * 5 AS BIGINT) AS rate
+       |FROM documents
+       |WHERE ${Mixing.lcgKeySql("doc_id")} % 100
+       |      < CAST(substr(source, 4) AS INT) * 5
+       |ORDER BY doc_id""".stripMargin
 
   /** exact per-language stratified sample: 40 docs per lang, LCG-ranked
     * (salted two-phase window — see Mixing.stratifiedSample) */
@@ -939,11 +1020,11 @@ object DataOpsQueries {
       .orderBy("lang", "strat_rank")
 
   val stratifiedSampleSql: String =
-    """SELECT doc_id, lang, CAST(strat_rank AS INT) AS strat_rank FROM (
-      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-      |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS strat_rank
-      |  FROM documents)
-      |WHERE strat_rank <= 40 ORDER BY lang, strat_rank""".stripMargin
+    s"""SELECT doc_id, lang, CAST(strat_rank AS INT) AS strat_rank FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${Mixing.lcgKeySql("doc_id")}, doc_id) AS strat_rank
+       |  FROM documents)
+       |WHERE strat_rank <= 40 ORDER BY lang, strat_rank""".stripMargin
 
   /** exact per-language length quantiles (quality-threshold selection):
     * dyadic quantile points over integer char counts make the linear
@@ -968,6 +1049,22 @@ object DataOpsQueries {
       |  quantile_cont(n_chars, 0.75) AS q75,
       |  quantile_cont(n_chars, 0.875) AS q875
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ARBITRARY-quantile estimation via the deterministic mergeable
+    * bottom-k hash-sample sketch (Sketches.quantileSketch — the
+    * order-independent alternative to KLL whose result replays exactly in
+    * any engine); permille points 103/500/907 are deliberately NON-dyadic
+    * (the exact `quantiles` gate covers dyadic points). Rank-error bound
+    * and mergeability are QuantileSketchSpec territory. */
+  def quantilesSketchQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.Sketches.quantileSketch(Tables.table(spark, dir, "documents"),
+        Seq("lang"), col("doc_id"), col("n_chars"), k = 200,
+        qPermille = Seq(103, 500, 907))
+      .orderBy("lang", "q")
+
+  val quantilesSketchSql: String = graft.ml.Sketches.quantileSketchSql(
+    "documents", "lang", "lang", "doc_id", "n_chars",
+    k = 200, qPermille = Seq(103, 500, 907))
 
   /** concat-and-chunk sequence packing into 2048-token context windows via
     * the distributed prefix-sum (see Mixing.seqPack — no one-partition
@@ -1010,6 +1107,9 @@ object DataOpsQueries {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_append" -> annIvfAppend,
     "ann_ivfpq_append" -> annIvfPqAppend,
+    "ann_ivf_delete" -> annIvfDelete,
+    "ann_ivfpq_delete" -> annIvfPqDelete,
+    "ann_ivf_rebalance" -> annIvfRebalance,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_ivfpq_batch" -> annIvfPqBatch,
@@ -1032,6 +1132,7 @@ object DataOpsQueries {
     "dedup_chunks" -> dedupChunksQ,
     "stratified_sample" -> stratifiedSampleQ,
     "quantiles" -> quantilesQ,
+    "quantiles_sketch" -> quantilesSketchQ,
     "mix_sample" -> mixSampleQ,
     "seq_pack" -> seqPackQ,
     "dedup_components" -> dedupComponentsQ,
@@ -1053,6 +1154,9 @@ object DataOpsQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_ivfpq_append" -> annIvfPqAppendSql,
+    "ann_ivf_delete" -> annIvfDeleteSql,
+    "ann_ivfpq_delete" -> annIvfPqDeleteSql,
+    "ann_ivf_rebalance" -> annIvfRebalanceSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivfpq_batch" -> annIvfPqBatchSql,
@@ -1075,6 +1179,7 @@ object DataOpsQueries {
     "dedup_chunks" -> dedupChunksSql,
     "stratified_sample" -> stratifiedSampleSql,
     "quantiles" -> quantilesSql,
+    "quantiles_sketch" -> quantilesSketchSql,
     "mix_sample" -> mixSampleSql,
     "seq_pack" -> seqPackSql,
     "dedup_components" -> dedupComponentsSql,

@@ -66,15 +66,21 @@ object FulltextQueries {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  // the k-boundary cut MUST rank by the UNROUNDED score (the engine's tie
+  // order): an outer `ORDER BY score` would bind to the rounded output
+  // alias and could pick a different doc when two exact-distinct scores
+  // round equal at the boundary — so rounding happens outside the LIMIT
   val bm25TopKSql: String = OracleProlog +
-    s"""SELECT doc_id, round(score, 4) AS score FROM (
-       |  SELECT tf.doc_id,
-       |    sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
-       |        tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
-       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-       |  WHERE term IN ${sqlList(Seq("spark", "dup", "window"))}
-       |  GROUP BY tf.doc_id)
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    s"""SELECT doc_id, round(s.score, 4) AS score FROM (
+       |  SELECT doc_id, score FROM (
+       |    SELECT tf.doc_id,
+       |      sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |          tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |    WHERE term IN ${sqlList(Seq("spark", "dup", "window"))}
+       |    GROUP BY tf.doc_id)
+       |  ORDER BY score DESC, doc_id LIMIT 10) s
+       |ORDER BY s.score DESC, doc_id""".stripMargin
 
   def bm25And(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsIndex(spark, dir)
@@ -565,16 +571,18 @@ object FulltextQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  // LIMIT ranks by the UNROUNDED score (see bm25TopKSql's boundary note);
+  // rounding is applied outside the cut
   private def bm25TopkSelect(qid: Int, terms: Seq[String]): String =
-    s"""SELECT * FROM (
-       |  SELECT $qid AS query_id, doc_id, round(score, 4) AS score FROM (
+    s"""SELECT query_id, doc_id, round(t.score, 4) AS score FROM (
+       |  SELECT $qid AS query_id, doc_id, score FROM (
        |    SELECT tf.doc_id,
        |      sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
        |          tf * (2.0 + 1.0) / (tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
        |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
        |    WHERE term IN ${sqlList(terms)}
        |    GROUP BY tf.doc_id)
-       |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+       |  ORDER BY score DESC, doc_id LIMIT 10) t""".stripMargin
 
   val batchTopkSql: String = OracleProlog +
     BatchQueries.zipWithIndex

@@ -30,7 +30,9 @@ object StreamQueries {
        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
        |           AS sum_cents
        |  FROM events GROUP BY 1, 2),
-       |mx AS (SELECT max(epoch_us(ts)) AS mus FROM events)
+       |-- watermark granularity: Spark tracks max event time in MILLIS
+       |-- (floor), so the oracle floors to ms before subtracting the delay
+       |mx AS (SELECT max(epoch_us(ts)) // 1000 * 1000 AS mus FROM events)
        |SELECT window_start_us, event_type, n, sum_cents FROM w, mx
        |WHERE window_start_us + $WinUs <= mus - $DelayUs
        |ORDER BY window_start_us, event_type""".stripMargin
@@ -57,7 +59,9 @@ object StreamQueries {
        |          count(*) AS n_events,
        |          CAST(sum(cents) AS BIGINT) AS sum_cents
        |        FROM g GROUP BY 1, 2),
-       |mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS mus FROM events),
+       |-- ms-floored max event time = Spark's watermark granularity
+       |mx AS (SELECT CAST(max(epoch_us(ts)) // 1000 * 1000 AS BIGINT) AS mus
+       |       FROM events),
        |l AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
        |SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events,
        |       a.sum_cents

@@ -295,13 +295,16 @@ final case class GraftIndex(spark: SparkSession, path: String,
   }
 
   /** BATCHED multi-query search: N term queries answered from ONE pruned
-    * postings scan. The union of all queries' terms is pushed down as a
-    * single term-IN filter, each bucket's blocks are materialized once and
-    * the kernel runs per query over the shared in-memory blocks (the
+    * postings scan per CHUNK. The union of a chunk's terms is pushed down
+    * as a single term-IN filter, each bucket's blocks are materialized once
+    * and the kernel runs per query over the shared in-memory blocks (the
     * kernel builds cursors only for its own query's terms, so no
     * per-query filtering is needed). Per-bucket memory is the bucket's
-    * pruned block set — the same bound the single-query kernel already
-    * has, since it too buffers a bucket's cursors.
+    * pruned block set for the UNION of the chunk's terms — it scales with
+    * the chunk's posting footprint, NOT one query's — so the batch is
+    * split greedily into chunks of Σ df ≤ `spark.graft.batchMaxPostings`
+    * (GraftIndex.DefaultBatchMaxPostings); a single query over the cap
+    * runs as its own chunk, which is exactly the single-query bound.
     *
     * This is the Spark-first answer to query throughput: where the
     * reference dispatches each query on its own thread over shared memory
@@ -357,19 +360,39 @@ final case class GraftIndex(spark: SparkSession, path: String,
       return spark.createDataset(out).toDF("query_id", "doc_id", "score")
     }
     val bc = if (deletesDf.isEmpty) None else Some(tombBc)
-    blocks.groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) =>
-        val mat = rows.toArray // one bucket's pruned blocks, shared by the batch
-        resolved.iterator.flatMap { case (qid, q0) =>
-          val qq = bc match {
-            case Some(b) =>
-              val (td, tg) = b.value; q0.copy(tombDocs = td, tombGens = tg)
-            case None => q0
-          }
-          MatchKernel.run(qq, mat.iterator).map { case (d, s) => (qid, d, s) }
-        }
+    // greedy Σ-df chunking: bounds per-bucket materialization to the chunk's
+    // posting footprint (see scaladoc); one scan+shuffle per chunk
+    val chunkCap = spark.conf.getOption("spark.graft.batchMaxPostings")
+      .map(_.toLong).getOrElse(GraftIndex.DefaultBatchMaxPostings)
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, ResolvedQuery)])
+    var acc = 0L
+    resolved.foreach { rq =>
+      val qdf = rq._2.terms.iterator.map(_.df).sum
+      if (chunks.last.nonEmpty && acc + qdf > chunkCap) {
+        chunks += scala.collection.mutable.ArrayBuffer.empty; acc = 0L
       }
-      .toDF("query_id", "doc_id", "score")
+      chunks.last += rq; acc += qdf
+    }
+    chunks.iterator.map { chunk =>
+      val chunkArr = chunk.toArray
+      val chunkTerms = chunkArr.flatMap(_._2.terms.map(_.term)).distinct.toSeq
+      val chunkBlocks =
+        postings.where($"term".isin(chunkTerms: _*)).as[PostingBlockRow]
+      chunkBlocks.groupByKey(_.bucket)
+        .flatMapGroups { (_, rows) =>
+          val mat = rows.toArray // one bucket's blocks for THIS chunk's terms
+          chunkArr.iterator.flatMap { case (qid, q0) =>
+            val qq = bc match {
+              case Some(b) =>
+                val (td, tg) = b.value; q0.copy(tombDocs = td, tombGens = tg)
+              case None => q0
+            }
+            MatchKernel.run(qq, mat.iterator).map { case (d, s) => (qid, d, s) }
+          }
+        }
+        .toDF("query_id", "doc_id", "score")
+    }.reduce(_ union _)
   }
 
   /** Per-query top-k over a searchTermsBatch result, reference tie order. */
@@ -768,6 +791,15 @@ object GraftIndex {
   /** default Σ-df cap for the driver-side small-query kernel path: ~256k
     * postings ≈ single-digit MB of encoded blocks on the driver */
   final val DefaultSmallQueryMaxPostings: Long = 1L << 18
+
+  /** default Σ-df cap per batched-search CHUNK (spark.graft.batchMaxPostings):
+    * searchTermsBatch materializes, per bucket, the blocks of the UNION of a
+    * chunk's terms — so executor memory scales with the chunk's posting
+    * footprint, and an uncapped batch of common terms could OOM a task. 16M
+    * postings ≈ tens of MB of encoded blocks in the worst (single-bucket
+    * skew) case; a single query over the cap still runs, as its own chunk —
+    * the same bound the single-query kernel has. */
+  final val DefaultBatchMaxPostings: Long = 1L << 24
 
   /** Time-travel read: open the index as of a retained manifest version
     * (SegmentCatalog.listVersions). Commits keep the newest

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * Probing more lists trades latency for recall exactly like IVF-FLAT
   * elsewhere; `nprobe = nlist` degrades gracefully to exact brute force
   * (which the oracle gate exploits: plumbing is verified hash-exact).
+  *
+  * Lifecycle parity with the text index: [[append]] ingests with frozen
+  * centroids, [[delete]] retires ids via generation tombstones
+  * ([[VecStore]]), [[compact]] folds the tombstones, [[listStats]] /
+  * [[imbalance]] measure the list skew appends accumulate, and
+  * [[rebalance]] re-trains centroids on the surviving corpus and rewrites
+  * the lists behind an atomic state swap.
   */
 object AnnIndex {
 
@@ -56,12 +63,25 @@ object AnnIndex {
     * (the hash gate proves that via the nprobe=nlist exact path). Empty
     * clusters keep their previous centroid. Use the result as
     * `build(..., centroids = Some(...))` for tighter lists (higher recall
-    * at the same nprobe) than raw seeds. */
+    * at the same nprobe) than raw seeds.
+    *
+    * `hashSeeds = true` seeds from the nlist rows with the smallest
+    * LCG(id) — a deterministic UNIFORM sample of the corpus, so a dense
+    * region gets proportionally many seeds and Lloyd can SPLIT it into
+    * several lists (lowest-id seeding plants at most one seed per region
+    * regardless of its mass, which leaves a one-mode flood as one
+    * oversized list forever — the failure [[rebalance]] exists to fix). */
   def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 5): Seq[Array[Float]] = {
+      nlist: Int, iters: Int = 5, hashSeeds: Boolean = false): Seq[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    var cents: Array[Centroid] = vecs.orderBy(col(idCol)).limit(nlist)
+    val seedKey =
+      if (hashSeeds)
+        (pmod(col(idCol).cast("long"), lit(2147483648L)) * lit(1103515245L)
+          + lit(12345L)) % lit(2147483648L)
+      else col(idCol)
+    var cents: Array[Centroid] = vecs
+      .orderBy(seedKey.asc, col(idCol).asc).limit(nlist)
       .select(col(vecCol)).as[Array[Float]].collect()
       .zipWithIndex.map { case (c, i) => Centroid(i, c) }
     val data = vecs.select(col(vecCol)).as[Array[Float]]
@@ -89,8 +109,9 @@ object AnnIndex {
   }
 
   /** Build the index at `path`: `path/centroids` (tiny) + `path/lists`
-    * (the corpus, partitioned+sorted by list_id). Default centroids are
-    * the nlist lowest-id vectors; pass `centroids` to use a trained set. */
+    * (the corpus, partitioned+sorted by list_id, every row stamped with
+    * generation 0 — see [[VecStore]]). Default centroids are the nlist
+    * lowest-id vectors; pass `centroids` to use a trained set. */
   def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
       nlist: Int, centroids: Option[Seq[Array[Float]]] = None,
       filesPerList: Int = 1): Unit = {
@@ -105,14 +126,25 @@ object AnnIndex {
     }
     cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/centroids")
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("vec")).as[(Long, Array[Float])]
-      .map { case (id, v) => (assign(v, bc.value), id, v) }
-      .toDF("list_id", "vec_id", "vec")
-    assigned
+    writeLists(vecs, idCol, vecCol, s"$path/lists", bc, nlist, filesPerList,
+      gen = 0L, mode = "overwrite")
+    VecStore.commit(spark, path, VecStore.Default)
+  }
+
+  /** one assignment+write pass shared by build/append/compact/rebalance */
+  private def writeLists(vecs: DataFrame, idCol: String, vecCol: String,
+      listsPath: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Centroid]],
+      nlist: Int, filesPerList: Int, gen: Long, mode: String): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (assign(v, bc.value), id, v, gen) }
+      .toDF("list_id", "vec_id", "vec", "gen")
       .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$path/lists")
+      .write.mode(mode).parquet(listsPath)
   }
 
   /** Incremental add — the streaming-embedding ingestion path: new
@@ -128,24 +160,116 @@ object AnnIndex {
       filesPerList: Int = 1): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    val st = VecStore.read(spark, path)
+    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
     require(cents.nonEmpty, s"no centroids at $path — build() first")
     val bc = spark.sparkContext.broadcast(cents)
-    val nlist = cents.length
-    vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (assign(v, bc.value), id, v) }
-      .toDF("list_id", "vec_id", "vec")
-      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+    val g = st.gen + 1
+    writeLists(vecs, idCol, vecCol, s"$path/${st.lists}", bc, cents.length,
+      filesPerList, gen = g, mode = "append")
+    VecStore.commit(spark, path, st.copy(gen = g))
+  }
+
+  /** Retire vectors by id: appends generation tombstones (see [[VecStore]])
+    * that every search path filters; a later [[append]] of the same id is
+    * alive again (the text index's delete-then-upsert semantics). Fold the
+    * tombstones with [[compact]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    VecStore.delete(spark, path, ids, idCol)
+
+  /** driver-literal convenience for small takedown lists */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(spark, path, ids.toDS().toDF("vec_id"), "vec_id")
+  }
+
+  /** Fold tombstones into the data: rewrite the lists as a FRESH directory
+    * holding only surviving rows (gen reset to 0), then atomically swap the
+    * state pointer to it with an empty deletes dir — readers see either the
+    * old tombstoned index or the fully-compacted one, never a half-rewrite
+    * (same commit discipline as the text index's manifest swap). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val st = VecStore.read(spark, path)
+    val v = st.gen + 1
+    val newLists = s"lists-c$v"
+    val survivors = VecStore.alive(spark, path, st,
+      VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
+      .withColumn("gen", org.apache.spark.sql.functions.lit(0L))
+      .select(col("list_id"), col("vec_id"), col("vec"), col("gen"))
+    survivors
+      .repartitionByRange(col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
-      .write.mode("append").parquet(s"$path/lists")
+      .write.mode("overwrite").parquet(s"$path/$newLists")
+    VecStore.commit(spark, path,
+      st.copy(gen = 0L, lists = newLists, deletes = s"deletes-c$v"))
+  }
+
+  /** alive rows of the lists table (tombstones filtered; no-op when none) */
+  private[ml] def aliveLists(spark: SparkSession, path: String,
+      st: VecStore.State): DataFrame =
+    VecStore.alive(spark, path, st,
+      VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
+
+  /** Per-list surviving-row counts INCLUDING empty lists — the list-balance
+    * health metric appends drift (frozen centroids, moving distribution).
+    * Cost: one projection-pruned scan of two narrow columns. */
+  def listStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val st = VecStore.read(spark, path)
+    val nlist = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect().length
+    val counts = aliveLists(spark, path, st)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+    spark.range(0, nlist).select(col("id").cast("int").as("list_id"))
+      .join(counts, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** max/mean list size — 1.0 is perfectly balanced; sustained skew means
+    * probes over-read hot lists and recall@nprobe drifts down. */
+  def imbalance(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val stats = listStats(spark, path).select(col("n")).as[Long].collect()
+    val total = stats.sum.toDouble
+    if (total == 0) 1.0 else stats.max / (total / stats.length)
+  }
+
+  /** Re-train centroids on the SURVIVING corpus (Lloyd over deterministic
+    * seeds, [[trainCentroids]]) and rewrite the lists against them — the
+    * remedy for post-append list skew that frozen-model appends accumulate.
+    * Fresh centroid + list directories, atomic state swap (tombstones are
+    * folded in the same pass, like [[compact]]). */
+  def rebalance(spark: SparkSession, path: String, iters: Int = 5,
+      filesPerList: Int = 1): Unit = {
+    import spark.implicits._
+    val st = VecStore.read(spark, path)
+    val nlist = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect().length
+    val v = st.gen + 1
+    val alive = aliveLists(spark, path, st)
+      .select(col("vec_id"), col("vec")).persist()
+    try {
+      // hash seeds: data-proportional, so the skewed mode that motivated
+      // the rebalance actually gets split (see trainCentroids)
+      val cents = trainCentroids(alive, "vec_id", "vec", nlist, iters,
+          hashSeeds = true)
+        .zipWithIndex.map { case (c, i) => Centroid(i, c) }.toArray
+      val newCents = s"centroids-r$v"
+      val newLists = s"lists-r$v"
+      cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/$newCents")
+      val bc = spark.sparkContext.broadcast(cents)
+      writeLists(alive, "vec_id", "vec", s"$path/$newLists", bc, nlist,
+        filesPerList, gen = 0L, mode = "overwrite")
+      VecStore.commit(spark, path, VecStore.State(0L, newLists, st.vecs,
+        s"deletes-r$v", newCents))
+    } finally alive.unpersist()
   }
 
   /** centroids ranked by distance to the query → the nprobe list ids */
   def probeLists(spark: SparkSession, path: String, query: Array[Float],
       nprobe: Int): Seq[Int] = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    val st = VecStore.read(spark, path)
+    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
     cents.map(c => (l2sq(query, c.centroid), c.list_id))
       .sortBy(identity).take(nprobe).map(_._2).toSeq
   }
@@ -161,7 +285,8 @@ object AnnIndex {
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cents = spark.read.parquet(s"$path/centroids").as[Centroid].collect()
+    val st = VecStore.read(spark, path)
+    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
     val bc = spark.sparkContext.broadcast(cents)
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
@@ -172,7 +297,7 @@ object AnnIndex {
           .iterator.map { case (_, lid) => (qid, lid, qv) }
       }.toDF("qid", "list_id", "qv")
     val touched = probes.select($"list_id").distinct().as[Int].collect().toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = aliveLists(spark, path, st)
       .where(col("list_id").isin(touched: _*))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
     probes.join(lists, Seq("list_id"))
@@ -188,9 +313,10 @@ object AnnIndex {
     * pushed into the parquet scan (row-group pruning on the sorted layout). */
   def search(spark: SparkSession, path: String, query: Array[Float],
       k: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val st = VecStore.read(spark, path)
     val lists = probeLists(spark, path, query, nprobe)
     val q = typedLit(query.toSeq)
-    val base = spark.read.parquet(s"$path/lists")
+    val base = aliveLists(spark, path, st)
       .where(col("list_id").isin(lists: _*))
     val filtered = excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
     filtered.select(col("vec_id"),

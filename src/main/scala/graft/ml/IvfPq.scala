@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `path/centroids` (list_id, centroid — tiny, also readable by
   * `AnnIndex.probeLists`), `path/codebooks` (sub, cid, centroid — tiny),
-  * `path/lists` (list_id, vec_id, code — partitioned+sorted by list_id,
-  * NO floats), `path/vecs` (vec_id, vec — range-partitioned+sorted by
-  * vec_id), `path/ivfpqmeta.json`.
+  * `path/lists` (list_id, vec_id, code, gen — partitioned+sorted by
+  * list_id, NO floats), `path/vecs` (vec_id, vec, gen — range-
+  * partitioned+sorted by vec_id), `path/ivfpqmeta.json`, plus the
+  * [[VecStore]] state file + delete tombstones ([[delete]]/[[compact]] —
+  * lifecycle parity with the text index's generation tombstones).
   */
 object IvfPq {
 
@@ -69,16 +71,18 @@ object IvfPq {
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcBooks = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
     val coded = data.map { case (id, v) =>
-      (AnnIndex.assignList(v, bcCents.value), id, PqIndex.encode(v, bcBooks.value, m, sub))
-    }.toDF("list_id", "vec_id", "code")
+      (AnnIndex.assignList(v, bcCents.value), id,
+        PqIndex.encode(v, bcBooks.value, m, sub), 0L)
+    }.toDF("list_id", "vec_id", "code", "gen")
     coded
       .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode("overwrite").parquet(s"$path/lists")
 
-    data.toDF("vec_id", "vec")
+    data.toDF("vec_id", "vec").withColumn("gen", lit(0L))
       .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vecs")
+    VecStore.commit(spark, path, VecStore.Default)
 
     val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
@@ -98,26 +102,80 @@ object IvfPq {
       path: String, filesPerList: Int = 1): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val st = VecStore.read(spark, path)
     val (_, m, _, nlist) = readMeta(spark, path)
-    val cents = spark.read.parquet(s"$path/centroids").as[AnnIndex.Centroid].collect()
+    val cents = spark.read.parquet(s"$path/${st.cents}").as[AnnIndex.Centroid].collect()
     val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
     require(cents.nonEmpty && books.nonEmpty, s"no model at $path — build() first")
     val dim = cents(0).centroid.length
     val sub = dim / m
+    val g = st.gen + 1
     val data = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("vec")).as[(Long, Array[Float])]
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcBooks = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
+    // vecs FIRST, codes second: a failure between the two jobs must leave
+    // orphan rerank vectors (harmless — nothing references them until their
+    // codes exist), never orphan codes (search's fetch-back join would
+    // silently drop those candidates instead of erroring); the gen-counter
+    // state commit lands only after BOTH writes succeed
+    data.toDF("vec_id", "vec").withColumn("gen", lit(g))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$path/${st.vecs}")
     data.map { case (id, v) =>
-        (AnnIndex.assignList(v, bcCents.value), id, PqIndex.encode(v, bcBooks.value, m, sub))
-      }.toDF("list_id", "vec_id", "code")
+        (AnnIndex.assignList(v, bcCents.value), id,
+          PqIndex.encode(v, bcBooks.value, m, sub), g)
+      }.toDF("list_id", "vec_id", "code", "gen")
       .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
-      .write.mode("append").parquet(s"$path/lists")
-    data.toDF("vec_id", "vec")
-      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
-      .write.mode("append").parquet(s"$path/vecs")
+      .write.mode("append").parquet(s"$path/${st.lists}")
+    VecStore.commit(spark, path, st.copy(gen = g))
   }
+
+  /** Retire vectors by id — generation tombstones shared with the IVF-FLAT
+    * index (see [[VecStore]]): every search pass (code-only ADC candidates
+    * AND the float fetch-back) filters them, so a deleted id can neither
+    * surface as a candidate nor resolve a stale vector after its id is
+    * re-appended. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    VecStore.delete(spark, path, ids, idCol)
+
+  /** driver-literal convenience for small takedown lists */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(spark, path, ids.toDS().toDF("vec_id"), "vec_id")
+  }
+
+  /** Fold tombstones: rewrite code lists AND rerank vecs as fresh
+    * directories of survivors (gen 0), then atomically swap the state —
+    * same discipline as [[AnnIndex.compact]]; the frozen model
+    * (centroids/codebooks) is untouched. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val st = VecStore.read(spark, path)
+    val v = st.gen + 1
+    val zero = lit(0L)
+    VecStore.alive(spark, path, st,
+        VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
+      .select(col("list_id"), col("vec_id"), col("code"), zero.as("gen"))
+      .repartitionByRange(col("list_id"))
+      .sortWithinPartitions("list_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$path/lists-c$v")
+    VecStore.alive(spark, path, st,
+        VecStore.withGen(spark.read.parquet(s"$path/${st.vecs}")))
+      .select(col("vec_id"), col("vec"), zero.as("gen"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vecs-c$v")
+    VecStore.commit(spark, path, st.copy(gen = 0L,
+      lists = s"lists-c$v", vecs = s"vecs-c$v", deletes = s"deletes-c$v"))
+  }
+
+  /** surviving rerank vectors (vec_id, vec) — the fetch-back source */
+  private def aliveVecs(spark: SparkSession, path: String,
+      st: VecStore.State): DataFrame =
+    VecStore.alive(spark, path, st,
+        VecStore.withGen(spark.read.parquet(s"$path/${st.vecs}")))
+      .select(col("vec_id"), col("vec"))
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
     val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
@@ -139,10 +197,14 @@ object IvfPq {
     val (dim, m, kCent, _) = readMeta(spark, path)
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
     import spark.implicits._
+    val st = VecStore.read(spark, path)
     val probed = AnnIndex.probeLists(spark, path, query, nprobe)
     val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
     val lut = PqIndex.lutFor(books, query, dim, m, kCent)
-    val lists = spark.read.parquet(s"$path/lists")
+    // tombstone filter BEFORE the projection: costs one narrow gen column
+    // when deletes exist, and is skipped entirely (plan-identical) when not
+    val lists = VecStore.alive(spark, path, st,
+        VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
       .where(col("list_id").isin(probed: _*))
     val base = excludeId.fold(lists)(id => lists.where(col("vec_id") =!= id))
     base.select(col("vec_id"),
@@ -167,7 +229,8 @@ object IvfPq {
     import org.apache.spark.sql.expressions.Window
     val (dim, m, kCent, _) = readMeta(spark, path)
     val sub = dim / m
-    val cents = spark.read.parquet(s"$path/centroids").as[AnnIndex.Centroid].collect()
+    val st = VecStore.read(spark, path)
+    val cents = spark.read.parquet(s"$path/${st.cents}").as[AnnIndex.Centroid].collect()
     val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
     // centroid(s, c) at index s*kCent + c, 1-based for element_at
     val bookLit = typedLit(
@@ -183,7 +246,8 @@ object IvfPq {
           .iterator.map { case (_, lid) => (qid, lid, nq.toSeq) }
       }.toDF("qid", "list_id", "nq")
     val touched = probes.select($"list_id").distinct().as[Int].collect().toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = VecStore.alive(spark, path, st,
+        VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
       .where(col("list_id").isin(touched: _*))
     // ADC(q, code) = Σ_s dot(q_sub_s, centroid(s, code_s)) — nested
     // higher-order functions, fully codegen'd, candidate floats untouched
@@ -204,7 +268,7 @@ object IvfPq {
       .select($"qid", $"vec_id")
     val wCos = Window.partitionBy($"qid").orderBy(desc("cos"), asc("vec_id"))
     cands
-      .join(spark.read.parquet(s"$path/vecs"), Seq("vec_id"))
+      .join(aliveVecs(spark, path, st), Seq("vec_id"))
       .join(queries.select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).as("qv0")), Seq("qid"))
       .select($"qid", $"vec_id", Similarity.cosine($"vec", $"qv0").as("cos"))
@@ -220,9 +284,13 @@ object IvfPq {
   def search(spark: SparkSession, path: String, query: Array[Float],
       k: Int, nprobe: Int, rerank: Int,
       excludeId: Option[Long] = None): DataFrame = {
+    val st = VecStore.read(spark, path)
     val topIds = candidates(spark, path, query, nprobe, excludeId)
       .orderBy(desc("adc"), asc("vec_id")).limit(rerank)
       .select(col("vec_id"))
-    PqIndex.rerankExact(spark.read.parquet(s"$path/vecs"), topIds, rerank, query, k)
+    // fetch-back over SURVIVING vecs: candidates are already tombstone-
+    // filtered, but a deleted-then-reappended id would otherwise resolve
+    // both its stale and fresh float rows here
+    PqIndex.rerankExact(aliveVecs(spark, path, st), topIds, rerank, query, k)
   }
 }

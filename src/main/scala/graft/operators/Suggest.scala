@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.index.GraftIndex
@@ -16,6 +17,77 @@ import graft.index.GraftIndex
   * plumbing is identical.
   */
 object Suggest {
+
+  /** LEARNER INGESTION — build the suggest dataset's item + pair tables
+    * from a RAW query-event stream, re-expressing the reference learner's
+    * event model (plugins/suggest/suggest.c:47-130, learner_learn at
+    * :995-1022): every keystroke/submit posts an event
+    * `(seq, time, item, type)` and the learner maintains
+    *
+    *  - `items`: freq += 1 per event, freq2 += 1 per SUBMIT event,
+    *    last = the item's newest event time (suggest.c
+    *    learner_increment_item_freq / learner_set_last_post_time);
+    *  - pair freq0/freq1 (complete/correct learning, suggest.c
+    *    learner_learn_for_complete_and_correcnt): on submit, walk the
+    *    session's PRIOR events newest-first — stop at the first gap
+    *    >= MIN_LEARN_DISTANCE (60 s, suggest.c:39) WITHOUT counting;
+    *    each non-submit prior adds (pre_item → post_item).freq0 and the
+    *    walk continues; a submit prior adds .freq1 and STOPS;
+    *  - pair freq2 (suggest learning, learner_learn_for_suggest): each
+    *    DISTINCT token of the submitted item (skipping a token equal to
+    *    the whole item) adds (token → post_item).freq2.
+    *
+    * Spark-first shape: the sequential walk becomes window arithmetic — a
+    * prior qualifies iff it is within the 60 s horizon AND at-or-after the
+    * session's last preceding submit (gaps grow monotonically walking
+    * back, so the reference's break is exactly this range predicate). One
+    * seq-keyed window pass + one seq-keyed join whose fanout is bounded by
+    * session length; at 100 TB the event log shuffles once on seq_id and
+    * once on the (pre, post) pair key — no driver state, no iteration.
+    *
+    * Input columns: (seq_id, ts_us, item, submit). Returns
+    * (items(item, freq, freq2, last_us),
+    *  pairs(pre, post, freq0, freq1, freq2)). */
+  def learn(events: DataFrame, minLearnDistanceUs: Long = 60000000L)
+      : (DataFrame, DataFrame) = {
+    val ev = events.select(col("seq_id").cast("long").as("seq_id"),
+      col("ts_us").cast("long").as("ts_us"),
+      col("item").cast("string").as("item"),
+      col("submit").cast("boolean").as("submit"))
+    val items = ev.groupBy(col("item")).agg(
+      count(lit(1)).as("freq"),
+      sum(when(col("submit"), 1L).otherwise(0L)).as("freq2"),
+      max(col("ts_us")).as("last_us"))
+    val w = Window.partitionBy(col("seq_id")).orderBy(col("ts_us").asc)
+    val seq = ev.withColumn("rn", row_number().over(w))
+      .withColumn("lsr", max(when(col("submit"), col("rn")))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val posts = seq.where(col("submit"))
+      .select(col("seq_id"), col("rn").as("post_rn"),
+        col("ts_us").as("post_ts"), col("item").as("post"),
+        coalesce(col("lsr"), lit(0)).as("from_rn"))
+    val priors = seq.select(col("seq_id"), col("rn").as("pre_rn"),
+      col("ts_us").as("pre_ts"), col("item").as("pre"),
+      col("submit").as("pre_submit"))
+    val cc = posts.join(priors, Seq("seq_id"))
+      .where(col("pre_rn") < col("post_rn") &&
+        col("pre_rn") >= col("from_rn") &&
+        col("post_ts") - col("pre_ts") < minLearnDistanceUs)
+      .groupBy(col("pre"), col("post"))
+      .agg(sum(when(!col("pre_submit"), 1L).otherwise(0L)).as("freq0"),
+        sum(when(col("pre_submit"), 1L).otherwise(0L)).as("freq1"))
+    val tok = ev.where(col("submit"))
+      .select(col("item").as("post"),
+        explode(array_distinct(split(col("item"), " "))).as("pre"))
+      .where(col("pre") =!= col("post"))
+      .groupBy(col("pre"), col("post")).agg(count(lit(1)).as("freq2"))
+    val pairs = cc.join(tok, Seq("pre", "post"), "full")
+      .select(col("pre"), col("post"),
+        coalesce(col("freq0"), lit(0L)).as("freq0"),
+        coalesce(col("freq1"), lit(0L)).as("freq1"),
+        coalesce(col("freq2"), lit(0L)).as("freq2"))
+    (items, pairs)
+  }
 
   /** completion: dictionary terms starting with `prefix` (df-ranked,
     * deterministic ties by term) */

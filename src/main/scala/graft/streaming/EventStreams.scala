@@ -17,8 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * shard plugins cannot.
   *
   * Determinism contract (what makes these gate-able against DuckDB):
-  *  - event times are continuous microseconds, so watermark boundary
-  *    equality (`window_end == watermark`) has measure zero;
+  *  - Spark tracks the event-time watermark in MILLISECONDS (max event
+  *    time floored to ms, minus the delay), so the oracles floor their
+  *    max-event-time to ms before subtracting the delay — both engines
+  *    evaluate the finalization predicate at the same granularity (an
+  *    exact-micros oracle would emit a window whose end lands in the
+  *    sub-millisecond gap that Spark's ms watermark has not yet passed);
   *  - sums are integer cents (`round(value*100)`), never float order-
   *    dependent accumulation;
   *  - emitted timestamps are epoch-micro BIGINTs, immune to timestamp

@@ -346,13 +346,16 @@ object Dedup {
     * n_windows), token positions 1-based inclusive.
     *
     * Scale shape (100 TB): the only corpus-wide shuffle is the window
-    * groupBy (hash-partitioned, map-side combine on (window, doc) pairs);
-    * the span merge is windowed per doc_id — co-partitioned with the join
-    * that produced the hits, no second corpus-wide exchange of text. Window
-    * strings could be hashed for shuffle width; kept textual here so the
-    * DuckDB oracle replicates the exact pipeline (PolyHash would collide
-    * identically anyway). Within-doc-only repetition intentionally does NOT
-    * count as duplication (that is `TextAnalysis.repetition`'s job).
+    * groupBy — hash-partitioned on the 8-byte PolyHash of the window (the
+    * same shingle_hash keying every sibling op uses: the window TEXT never
+    * rides a corpus-wide exchange, which at n=8 tokens would be ~50× wider
+    * than the long), with map-side combine on (hash, doc) pairs; the span
+    * merge is windowed per doc_id — co-partitioned with the join that
+    * produced the hits, no second corpus-wide exchange. The DuckDB oracle
+    * replays the same hash (as in dedupChunks), so collisions — already
+    * vanishingly rare mod 1e9+7 — are engine-identical. Within-doc-only
+    * repetition intentionally does NOT count as duplication (that is
+    * `TextAnalysis.repetition`'s job).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
@@ -360,13 +363,14 @@ object Dedup {
     val wins = docs.select(col(idCol).as("doc_id"),
         explode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - n + 1),
-            i => struct(i.as("pos"), array_join(slice(toks, i, lit(n)), " ").as("w"))))
+            i => struct(i.as("pos"),
+              shingle_hash(array_join(slice(toks, i, lit(n)), " ")).as("h"))))
           .otherwise(array())).as("pw"))
-      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.w").as("w"))
-    val dup = wins.groupBy(col("w"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+    val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ddf"))
-      .where(col("ddf") >= minDocs).select("w")
-    val hits = wins.join(dup, Seq("w")).select("doc_id", "pos")
+      .where(col("ddf") >= minDocs).select("h")
+    val hits = wins.join(dup, Seq("h")).select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     // a window starting at pos covers tokens [pos, pos+n-1]; the next start
     // merges when it begins at or before pos+n (overlap or token-adjacent)
@@ -420,7 +424,13 @@ object Dedup {
     * hash-partitioned joins + one groupBy on long keys, no driver state
     * beyond the per-round converged? scalar. Lineage is cut per round
     * (localCheckpoint) — an iterative plan would otherwise double in
-    * depth every round. */
+    * depth every round — and the convergence test rides THAT job: a
+    * changed-label accumulator is incremented inside the checkpoint
+    * materialization pass, so each round is exactly ONE Spark job (a
+    * separate compare-join would double the per-round job count). A task
+    * retry can only over-count `changed` — that costs at most one extra
+    * round against an already-converged (fixed-point) labeling, never a
+    * wrong result. */
   /** Canonical selection per dedup cluster: among each component's
     * members, KEEP the one with the best `scoreCol` (ties → smallest id)
     * — the quality-aware upgrade of the min-id drop list (production
@@ -443,6 +453,8 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val e = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -456,15 +468,25 @@ object Dedup {
         .join(comp.select(col("id").as("v"), col("comp").as("vc")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vc")).as("nmin"))
         .select(col("u").as("id"), col("nmin"))
+      // carry the round's INCOMING label (oc) so the convergence count can
+      // ride the checkpoint job instead of a second compare-join job
       val c1 = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("oc"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val jump = c1.select(col("id").as("jid"), col("comp").as("jc"))
+      val changed = spark.sparkContext.longAccumulator(s"cc-changed-$it")
       val c2 = c1.join(jump, c1("comp") === jump("jid"), "left")
-        .select(c1("id"), coalesce(col("jc"), c1("comp")).as("comp"))
-        .localCheckpoint()
-      done = c2.as("n").join(comp.as("o"), Seq("id"))
-        .where(col("n.comp") =!= col("o.comp")).isEmpty
+        .select(c1("id"), coalesce(col("jc"), c1("comp")).as("comp"), col("oc"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { rows =>
+          rows.map { case (id, c, oc) =>
+            if (c != oc) changed.add(1L)
+            (id, c)
+          }
+        }
+        .toDF("id", "comp")
+        .localCheckpoint() // the ONE job per round; fills `changed`
+      done = changed.value == 0L
       comp = c2
       it += 1
     }

@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** The shared LCG keep-key: pmod the id into [0, 2^31) BEFORE the
+    * multiply, so the product is bounded by (2^31-1)·1103515245 ≈ 2.4e18 —
+    * inside Long on any engine and for ANY id (a raw id ≥ ~8.4e9 would
+    * silently wrap in Spark while DuckDB raises on BIGINT overflow, and a
+    * negative id would yield a negative residue that is never sampled). */
+  private def lcgKey(id: Column): Column =
+    (pmod(id.cast("long"), lit(2147483648L)) * lit(1103515245L) + lit(12345L)) %
+      lit(2147483648L)
+
+  /** the same key as DuckDB SQL over an id expression (both oracle users
+    * embed this — one definition, two engines) */
+  def lcgKeySql(id: String): String =
+    s"((($id) % 2147483648 + 2147483648) % 2147483648 * 1103515245 + 12345) % 2147483648"
+
   /** Deterministic per-group sampling for training-mixture weights: keep a
     * row iff LCG(id) mod 100 < its group's percentage rate. No RNG state —
     * the keep decision is a pure function of the id, so the sample is
@@ -22,8 +36,7 @@ object Mixing {
   def mixSample(docs: DataFrame, idCol: String, ratePct: Column): DataFrame =
     docs
       .withColumn("rate", ratePct.cast("long"))
-      .where((col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-        % 100 < col("rate"))
+      .where(lcgKey(col(idCol)) % 100 < col("rate"))
 
   /** Concat-and-chunk sequence packing (the LLM pretraining layout): docs
     * in `idCol` order form one virtual token stream, cut into fixed
@@ -87,7 +100,7 @@ object Mixing {
   def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
       quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
-    val key = (col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val key = lcgKey(col(idCol))
     val salted = Window.partitionBy(col("sf_pid"), col(strataCol))
       .orderBy(key.asc, col(idCol).asc)
     val pruned = docs.withColumn("sf_pid", spark_partition_id())

@@ -105,6 +105,96 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("delete: tombstoned ids vanish; survivors exact at full probe") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 32)
+    val dead = (0L until 2000L).filter(_ % 7 == 3)
+    AnnIndex.delete(spark, p, dead)
+    val q = vec(4, 11)
+    val got = AnnIndex.search(spark, p, q, k = 10, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    val want = Similarity.cosineTopK(df.where($"vec_id" % 7 =!= 3),
+        "vec_id", "embedding", q, 10, None)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.forall(_ % 7 != 3))
+  }
+
+  test("delete-then-append reuses the id: fresh vector searchable, stale one gone") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-reuse").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 32)
+    val reusedId = 123L
+    AnnIndex.delete(spark, p, Seq(reusedId))
+    // while deleted: id absent even when its old vector IS the query
+    val oldVec = corpus(reusedId.toInt)._2
+    val during = AnnIndex.search(spark, p, oldVec, k = 5, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(!during.contains(reusedId))
+    // re-append the SAME id with a vector from a different cluster
+    val newVec = vec(19, 77)
+    AnnIndex.append(Seq((reusedId, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", p)
+    val hit = AnnIndex.search(spark, p, newVec, k = 1, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(hit == Seq(reusedId), s"re-appended id must be the top hit: $hit")
+    // the STALE vector must not resolve the id any more
+    val stale = AnnIndex.search(spark, p, oldVec, k = 3, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(!stale.contains(reusedId), s"stale vector resurfaced: $stale")
+  }
+
+  test("compact folds tombstones: identical results, smaller lists, empty deletes") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 32)
+    AnnIndex.delete(spark, p, (0L until 2000L).filter(_ % 5 == 1))
+    val q = vec(7, 3)
+    val before = AnnIndex.search(spark, p, q, k = 10, nprobe = 32)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+    AnnIndex.compact(spark, p)
+    val after = AnnIndex.search(spark, p, q, k = 10, nprobe = 32)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    val st = graft.ml.VecStore.read(spark, p)
+    assert(st.lists != "lists", "compact must swap to a fresh lists dir")
+    assert(spark.read.parquet(s"$p/${st.lists}").count() == 1600)
+    assert(graft.ml.VecStore.tombstones(spark, p, st).isEmpty,
+      "compact must leave no live tombstones")
+  }
+
+  test("rebalance restores list balance after skewed appends; full probe stays exact") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString + "/idx"
+    AnnIndex.build(df, "vec_id", "embedding", p, nlist = 16)
+    // the drift scenario: a frozen model meets a stream concentrated on one
+    // region — 1000 fresh cluster-0 vectors pile into cluster 0's list(s)
+    val flood = (2000 until 3000).map(i => (i.toLong, vec(0, i - 1900)))
+    AnnIndex.append(flood.toDF("vec_id", "embedding"), "vec_id", "embedding", p)
+    val skewed = AnnIndex.imbalance(spark, p)
+    assert(skewed > 2.0, s"one-region flood should skew lists: $skewed")
+    AnnIndex.rebalance(spark, p, iters = 3)
+    val balanced = AnnIndex.imbalance(spark, p)
+    assert(balanced < skewed / 1.5,
+      s"rebalance must materially reduce imbalance: $skewed -> $balanced")
+    // full probe stays exact over the WHOLE (base + flood) corpus
+    val full = (corpus ++ flood).toDF("vec_id", "embedding")
+    val q = vec(9, 9)
+    val got = AnnIndex.search(spark, p, q, k = 10, nprobe = 16)
+      .select($"vec_id").as[Long].collect().toSeq
+    val want = Similarity.cosineTopK(full, "vec_id", "embedding", q, 10, None)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    // pruned probes stay useful after the rewrite
+    val recalls = (0 until 8).map { c =>
+      val qq = vec(c, 42)
+      val truth = Similarity.cosineTopK(full, "vec_id", "embedding", qq, 10, None)
+        .select($"vec_id").as[Long].collect().toSet
+      val pr = AnnIndex.search(spark, p, qq, k = 10, nprobe = 4)
+        .select($"vec_id").as[Long].collect().toSet
+      (pr & truth).size.toDouble / 10
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"post-rebalance nprobe=4/16 recall $mean < 0.85 ($recalls)")
+  }
+
   test("multi-probe recall >= single-probe recall, both subsets of exact") {
     val trials = (0 until 12).map { c =>
       val q = vec(c, 99)

@@ -85,7 +85,7 @@ class IvfPqSpec extends AnyFunSuite {
 
   test("lists store codes only; candidate scan pushes list_id IN and reads no floats") {
     val lists = spark.read.parquet(s"$built/lists")
-    assert(lists.columns.toSeq == Seq("list_id", "vec_id", "code"),
+    assert(lists.columns.toSeq == Seq("list_id", "vec_id", "code", "gen"),
       "the IVF+PQ lists table must not carry float vectors")
     val plan = IvfPq.candidates(spark, built, vec(7L), nprobe = 3)
       .queryExecution.executedPlan.toString
@@ -109,6 +109,51 @@ class IvfPqSpec extends AnyFunSuite {
       .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
     for (qid <- Seq(3L, 14L, 101L))
       assert(batch(qid) == bruteRaw(vec(qid), 5, qid), s"qid=$qid")
+  }
+
+  test("delete + id reuse: stale floats never resolve; compact preserves results") {
+    val p = s"$tmp/ivfpq-delete"
+    val df = (0L until n).map(id => (id, vec(id).toSeq)).toDF("vec_id", "embedding")
+    IvfPq.build(df, "vec_id", "embedding", p, nlist = 12, m = 8, kCent = 16)
+    IvfPq.delete(spark, p, (0L until n.toLong).filter(_ % 7 == 3))
+    def survivorsTop(q: Array[Float], k: Int, exclude: Long): Seq[Long] =
+      (0L until n).filter(id => id != exclude && id % 7 != 3)
+        .map { id =>
+          val r = BigDecimal(cos(q, vec(id)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (r, id)
+        }.sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+    val q = vec(8L)
+    val got = IvfPq.search(spark, p, q, k = 10, nprobe = 12, rerank = n,
+      excludeId = Some(8L)).collect().map(_.getLong(0)).toSeq
+    assert(got == survivorsTop(q, 10, 8L))
+    assert(got.forall(_ % 7 != 3))
+    // id reuse: re-append id 10 (deleted above) with cluster-9 geometry —
+    // the fetch-back must resolve the FRESH floats, not the tombstoned ones
+    val fresh = vec(9L * 100 + 901L)
+    IvfPq.append(Seq((10L, fresh.toSeq)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", p)
+    val hit = IvfPq.search(spark, p, fresh, k = 1, nprobe = 12, rerank = n)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(10L), s"re-appended id must top its own query: $hit")
+    val staleQ = vec(10L)
+    val stale = IvfPq.search(spark, p, staleQ, k = 3, nprobe = 12, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!stale.exists { case (id, c) => id == 10L && c > 0.99 },
+      s"stale floats resolved for the reused id: $stale")
+    // compact folds tombstones; results byte-identical before/after
+    val before = IvfPq.search(spark, p, q, k = 10, nprobe = 12, rerank = n,
+      excludeId = Some(8L)).collect().toSeq
+    IvfPq.compact(spark, p)
+    val after = IvfPq.search(spark, p, q, k = 10, nprobe = 12, rerank = n,
+      excludeId = Some(8L)).collect().toSeq
+    assert(after == before)
+    val st = graft.ml.VecStore.read(spark, p)
+    assert(st.lists.startsWith("lists-c") && st.vecs.startsWith("vecs-c"))
+    // survivors only: n minus the 43 tombstoned (%7==3) plus the reused id
+    val expectRows = (0L until n.toLong).count(id => id % 7 != 3) + 1
+    assert(spark.read.parquet(s"$p/${st.lists}").count() == expectRows)
+    assert(spark.read.parquet(s"$p/${st.vecs}").count() == expectRows)
   }
 
   test("rerank fetch touches exactly the candidate ids (isin path)") {
