@@ -163,6 +163,56 @@ object Bench {
     }
     val (skewSeen, skewDecoded) = graft.query.MatchKernel.readStats()
 
+    // ---- sf1 data-ops scaling datapoint (opt-in: SPARK_GRAFT_SF1_DOCS) ----
+    // The dedup/ANN/mixing family is gated at sf0.001 and benched at sf0.1
+    // (5k docs); this section times the same gate functions over a 10x+
+    // synthetic corpus in the SAME schema, so per-query scaling vs the
+    // sf0.1 numbers is a committed regression datapoint. Deterministic
+    // generation (WebCorpus splitmix64) — no external data.
+    val sf1Docs = sys.env.getOrElse("SPARK_GRAFT_SF1_DOCS", "0").toLong
+    val sf1Json = if (sf1Docs <= 0) "" else {
+      val dir = s"/tmp/graft-sf1/$sf1Docs"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))) {
+        import spark.implicits._
+        spark.range(0L, sf1Docs, 1L, cpus.toInt * 2).as[Long].map { i =>
+          // ~2.7% verbatim near-dups so LSH/components do real work
+          val src = if (i % 37 == 0 && i > 36) i - (i % 5) - 1 else i
+          val (t, lang) = WebCorpus.text(src, 77L)
+          (i, t, lang, s"src${i % 20}", t.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val nEmb = math.max(2000L, sf1Docs / 5 * 2)
+        spark.range(0L, nEmb, 1L, cpus.toInt * 2).as[Long].map { i =>
+          val label = (i % 10).toInt
+          val v = Array.tabulate(64) { d =>
+            (math.sin(label * 7.3 + d * 1.7) * 5.0 +
+              math.sin(i * 13.1 + d * 3.9) * 0.3).toFloat
+          }
+          (i, v, label)
+        }.toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      val names = Seq("dedup_minhash_lsh", "dedup_components", "seq_pack",
+        "dedup_substring", "quantiles_sketch", "ann_ivfpq_topk")
+      val times = names.map { n =>
+        n -> time { SparkEntry.queries(n)(spark, dir).count() }
+      }
+      // the gate shape is the exactness path (full probe + full rerank);
+      // also time the PRUNED scale path over the same artifact
+      val prunedSec = time {
+        import org.apache.spark.sql.functions.col
+        val q = graft.api.Tables.table(spark, dir, "embeddings")
+          .where(col("vec_id") === 0L).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        graft.ml.IvfPq.search(spark,
+          graft.api.DataOpsQueries.ivfPqIndexPath(spark, dir),
+          q, k = 10, nprobe = 4, rerank = 256).collect()
+      }
+      val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      s""","sf1_dataops":{"docs":$sf1Docs,$ts,"ann_ivfpq_pruned":$prunedSec}"""
+    }
+
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":$errJson,"gate_index_build_s":$gateBuildSec,""" +
@@ -172,7 +222,8 @@ object Bench {
       s""""sect_wand":{"secs":$sectSec,"blocks_seen":$sectSeen,"blocks_decoded":$sectDecoded,""" +
       s""""blocks_skipped":${sectSeen - sectDecoded}},""" +
       s""""sect_wand_skew":{"secs":$skewSec,"blocks_seen":$skewSeen,""" +
-      s""""blocks_decoded":$skewDecoded,"blocks_skipped":${skewSeen - skewDecoded}}}"""
+      s""""blocks_decoded":$skewDecoded,"blocks_skipped":${skewSeen - skewDecoded}}""" +
+      sf1Json + "}"
     // headline summary FIRST: the driver artifact has tail-truncated the
     // full JSON twice — lead with the numbers + the path of the full copy
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")

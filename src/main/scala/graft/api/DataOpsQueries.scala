@@ -462,11 +462,16 @@ object DataOpsQueries {
     * and float fetch-back are verified end-to-end; recall at
     * nprobe < nlist / rerank < corpus and the no-floats-in-candidate-scan
     * property are IvfPqSpec + ExplainCheck rule 8 territory. */
-  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val path = cachedArtifact(dir, "ivfpq-idx") { p =>
+  /** the shared IVF+PQ gate artifact (built once per JVM+dir; also used by
+    * the bench harness's pruned-path timing) */
+  def ivfPqIndexPath(spark: SparkSession, dir: String): String =
+    cachedArtifact(dir, "ivfpq-idx") { p =>
       graft.ml.IvfPq.build(Tables.table(spark, dir, "embeddings"),
         "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
     }
+
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfPqIndexPath(spark, dir)
     // exactness precondition DERIVED, not assumed (see annPqTopK)
     val n = Tables.table(spark, dir, "embeddings").count()
     require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
@@ -575,10 +580,7 @@ object DataOpsQueries {
     * fetch-back and double window rank verified hash-exact vs brute
     * force; pruned-probe recall is IvfPqSpec territory). */
   def annIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
-    val path = cachedArtifact(dir, "ivfpq-idx") { p =>
-      graft.ml.IvfPq.build(Tables.table(spark, dir, "embeddings"),
-        "vec_id", "embedding", p, nlist = 16, m = 8, kCent = 16)
-    }
+    val path = ivfPqIndexPath(spark, dir)
     val e = Tables.table(spark, dir, "embeddings")
     val n = e.count()
     require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")

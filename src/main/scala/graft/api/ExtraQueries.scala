@@ -182,6 +182,13 @@ object ExtraQueries {
   def columnListCmd(spark: SparkSession, dir: String): DataFrame =
     Introspect.columnList(Tables.documentsIndex(spark, dir), "postings").orderBy("id")
 
+  /** `schema` command: one reference-shaped JSON body per object (driver
+    * has no oracle for catalog introspection → rows-only, like table_list;
+    * exact bodies are golden-matched in CommandFormatSpec) */
+  def schemaCmd(spark: SparkSession, dir: String): DataFrame =
+    Introspect.schemaCmd(Tables.documentsIndex(spark, dir))
+      .orderBy("section", "name")
+
   /** snippet_html: centered tagged windows with the reference defaults'
     * shape (width-clamped start = match_start - (width - len)/2, span
     * keyword tags). The gate checks the FIRST window byte-identically;
@@ -259,6 +266,98 @@ object ExtraQueries {
       |FROM df LEFT JOIN learned l ON df.term = l.term
       |WHERE df.term LIKE 's%'
       |ORDER BY freq DESC, df.df DESC, df.term LIMIT 10""".stripMargin
+
+  /** Deterministic synthetic QUERY-EVENT LOG derived from the documents
+    * table (both engines compute it from the same parquet): session =
+    * doc_id mod 40, event time in micros with a ±30 s wobble so some
+    * intra-session gaps exceed the learner's 60 s horizon (the gap-break
+    * path is exercised), item = the doc's first 1..3 tokens (multi-token
+    * items exercise the freq2 tokenize path), every 4th event a submit. */
+  private def learnEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") < 2000)
+      .select((col("doc_id") % 40).as("seq_id"),
+        (col("doc_id") * 1000000L + (col("doc_id") % 3) * 30000000L).as("ts_us"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          (lit(1) + col("doc_id") % 3).cast("int")), " ").as("item"),
+        (col("doc_id") % 4 === 0).as("submit"))
+
+  private val LearnEventsSql: String =
+    """ev AS (
+      |  SELECT doc_id % 40 AS seq_id,
+      |    doc_id * 1000000 + (doc_id % 3) * 30000000 AS ts_us,
+      |    array_to_string((string_split(text, ' '))[1:CAST(1 + doc_id % 3 AS INT)],
+      |                    ' ') AS item,
+      |    doc_id % 4 = 0 AS submit
+      |  FROM documents WHERE doc_id < 2000)""".stripMargin
+
+  /** learner ingestion, PAIR tables: raw events → Suggest.learn →
+    * (pre, post, freq0, freq1, freq2); the oracle replays the window
+    * arithmetic that re-expresses the reference's newest-first walk. */
+  def suggestLearnPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Suggest.learn(learnEvents(spark, dir))._2
+      .orderBy("pre", "post")
+
+  val suggestLearnPairsSql: String =
+    s"""WITH $LearnEventsSql,
+       |s1 AS (SELECT *, row_number() OVER (PARTITION BY seq_id ORDER BY ts_us)
+       |         AS rn FROM ev),
+       |s2 AS (SELECT *, max(CASE WHEN submit THEN rn END) OVER (
+       |         PARTITION BY seq_id ORDER BY rn
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lsr
+       |       FROM s1),
+       |posts AS (SELECT seq_id, rn AS post_rn, ts_us AS post_ts,
+       |            item AS post, coalesce(lsr, 0) AS from_rn
+       |          FROM s2 WHERE submit),
+       |priors AS (SELECT seq_id, rn AS pre_rn, ts_us AS pre_ts, item AS pre,
+       |             submit AS pre_submit FROM s2),
+       |cc AS (
+       |  SELECT pre, post,
+       |    sum(CASE WHEN NOT pre_submit THEN 1 ELSE 0 END) AS freq0,
+       |    sum(CASE WHEN pre_submit THEN 1 ELSE 0 END) AS freq1
+       |  FROM posts JOIN priors USING (seq_id)
+       |  WHERE pre_rn < post_rn AND pre_rn >= from_rn
+       |    AND post_ts - pre_ts < 60000000
+       |  GROUP BY 1, 2),
+       |tok AS (
+       |  SELECT pre, post, count(*) AS freq2 FROM (
+       |    SELECT ts_us, item AS post,
+       |      unnest(list_distinct(string_split(item, ' '))) AS pre
+       |    FROM ev WHERE submit)
+       |  WHERE pre <> post GROUP BY 1, 2)
+       |SELECT coalesce(c.pre, t.pre) AS pre, coalesce(c.post, t.post) AS post,
+       |  CAST(coalesce(c.freq0, 0) AS BIGINT) AS freq0,
+       |  CAST(coalesce(c.freq1, 0) AS BIGINT) AS freq1,
+       |  CAST(coalesce(t.freq2, 0) AS BIGINT) AS freq2
+       |FROM cc c FULL JOIN tok t ON c.pre = t.pre AND c.post = t.post
+       |ORDER BY pre, post""".stripMargin
+
+  /** learner ingestion feeding the learned-completion ranking: the item
+    * table's submit counts (freq2) become completeLearned's frequency —
+    * the reference flow (learner populates item_<dataset>.freq2; the
+    * suggest command ranks completions by it) end-to-end from raw events. */
+  def suggestLearn(spark: SparkSession, dir: String): DataFrame = {
+    val (items, _) = graft.operators.Suggest.learn(learnEvents(spark, dir))
+    val learned = items.where(col("freq2") > 0)
+      .select(col("item").as("term"), col("freq2").as("freq"))
+    graft.operators.Suggest.completeLearned(
+      Tables.documentsIndex(spark, dir), "s", learned, k = 10)
+  }
+
+  val suggestLearnSql: String =
+    s"""WITH $LearnEventsSql,
+       |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |learned AS (
+       |  SELECT item AS term,
+       |    sum(CASE WHEN submit THEN 1 ELSE 0 END) AS freq
+       |  FROM ev GROUP BY 1
+       |  HAVING sum(CASE WHEN submit THEN 1 ELSE 0 END) > 0)
+       |SELECT df.term, CAST(COALESCE(l.freq, 0) AS BIGINT) AS freq,
+       |  CAST(df.df AS BIGINT) AS df
+       |FROM df LEFT JOIN learned l ON df.term = l.term
+       |WHERE df.term LIKE 's%'
+       |ORDER BY freq DESC, df.df DESC, df.term LIMIT 10""".stripMargin
 
   /** suggest-cooccurrence: terms sharing docs with the query term, by
     * number of co-occurring docs (bucket-pruned postings decode) */
@@ -1082,9 +1181,12 @@ object ExtraQueries {
     "snippet_html" -> snippetHtml,
     "table_list" -> tableListCmd,
     "column_list" -> columnListCmd,
+    "schema_cmd" -> schemaCmd,
     "ft_leading_not" -> leadingNot,
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,
+    "suggest_learn" -> suggestLearn,
+    "suggest_learn_pairs" -> suggestLearnPairs,
     "suggest_correct" -> suggestCorrect,
     "suggest_cooccur" -> suggestCooccur,
     "ft_query_expand" -> queryExpand)
@@ -1127,6 +1229,8 @@ object ExtraQueries {
     "ft_leading_not" -> leadingNotSql,
     "suggest_complete" -> suggestCompleteSql,
     "suggest_learned" -> suggestLearnedSql,
+    "suggest_learn" -> suggestLearnSql,
+    "suggest_learn_pairs" -> suggestLearnPairsSql,
     "suggest_correct" -> suggestCorrectSql,
     "suggest_cooccur" -> suggestCooccurSql,
     "ft_query_expand" -> queryExpandSql,

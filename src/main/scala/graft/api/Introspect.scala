@@ -30,6 +30,71 @@ object Introspect {
       "default_tokenizer", "normalizer")
   }
 
+  /** `schema` command analogue (reference lib/proc/proc_schema.c — one JSON
+    * object with plugins/types/tokenizers/normalizers/token_filters/tables
+    * sections; each table carries key_type, tokenizer, normalizer, its
+    * re-creation `command`, and its columns). Re-expressed relationally:
+    * one row per object, `(section, name, body)` with `body` the
+    * reference-shaped JSON for that object — section/name sort order is
+    * deterministic, so the output is golden-testable and diffable. The
+    * registries are THIS engine's (what `Analyzers.byName` /
+    * `Normalizers.byName` accept), the per-table JSON mirrors the
+    * reference's field naming (schema/tables/tokenizer.expected). */
+  def schemaCmd(idx: GraftIndex): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val m = idx.meta
+    val tokenizers = Seq("TokenBigram", "TokenUnigram", "TokenTrigram",
+      "TokenBigramSplitSymbol", "TokenBigramSplitSymbolAlpha",
+      "TokenBigramSplitSymbolAlphaDigit", "TokenBigramIgnoreBlank",
+      "TokenDelimit", "TokenDelimitNull", "TokenNgram", "TokenPattern",
+      "TokenTable")
+    val normalizers = Seq("NormalizerAuto", "NormalizerNFKC",
+      "NormalizerHTML", "NormalizerTable")
+    val tokenFilters = Seq("TokenFilterStopWord", "TokenFilterStem",
+      "TokenFilterStemS", "TokenFilterUnifyKana")
+    def named(section: String, names: Seq[String]): Seq[(String, String, String)] =
+      names.sorted.zipWithIndex.map { case (n, i) =>
+        (section, n, s"""{"id":$i,"name":"$n"}""")
+      }
+    val flags = Seq(
+      Some("PERSISTENT"),
+      if (m.withPositions) Some("WITH_POSITION") else None,
+      if (m.sections.nonEmpty) Some("WITH_SECTION") else None
+    ).flatten.mkString("|")
+    val tables = Tables.zipWithIndex.map { case (t, i) =>
+      val tok = if (t == "postings" || t == "terms") m.tokenizer else ""
+      val tokJson = if (tok.isEmpty) "null" else s"""{"name":"$tok","options":null}"""
+      val cmd = s"table_create --name $t --flags TABLE_PAT_KEY" +
+        (if (tok.nonEmpty) s" --default_tokenizer $tok" else "")
+      ("tables", t,
+        s"""{"id":$i,"name":"$t","type":"patricia trie",""" +
+          s""""key_type":{"name":"ShortText","type":"type"},""" +
+          s""""tokenizer":$tokJson,"normalizer":{"name":"NormalizerNFKC"},""" +
+          s""""flags":"$flags",""" +
+          s""""command":{"name":"table_create","command_line":"$cmd"}}""")
+    }
+    val columns = Tables.flatMap { t =>
+      val schema = t match {
+        case "postings" => idx.postings.schema
+        case "terms" => idx.terms.schema
+        case "docs" => idx.docs.schema
+        case "terms_rev" => spark.read.parquet(s"${idx.path}/terms_rev").schema
+      }
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val ty = CommandFormat.grnType(f.dataType)
+        ("columns", s"$t.${f.name}",
+          s"""{"id":$i,"name":"${f.name}","table":"$t","type":"$ty",""" +
+            s""""flags":"COLUMN_SCALAR|PERSISTENT",""" +
+            s""""command":{"name":"column_create","command_line":""" +
+            s""""column_create --table $t --name ${f.name} --type $ty"}}""")
+      }
+    }
+    (named("tokenizers", tokenizers) ++ named("normalizers", normalizers) ++
+      named("token_filters", tokenFilters) ++ tables ++ columns)
+      .toDF("section", "name", "body")
+  }
+
   def columnList(idx: GraftIndex, table: String = "postings"): DataFrame = {
     val spark = idx.spark
     import spark.implicits._

@@ -143,6 +143,16 @@ object ExplainCheck {
     check("bloom decontaminate might_contain prefilter",
       p12.contains("might_contain"), p12)
 
+    // 13. SAME candidate scan with live delete tombstones: the gen filter
+    //     must ride as one narrow column + a vec_id-keyed join — floats
+    //     still never enter the candidate pass, and the list_id IN
+    //     pushdown survives the join
+    graft.ml.IvfPq.delete(spark, ivfpqDir, Seq(2L, 4L))
+    val p13 = plan(graft.ml.IvfPq.candidates(spark, ivfpqDir, q8, nprobe = 3))
+    check("ivfpq tombstoned candidate scan stays code-only",
+      p13.contains("In(list_id") && !p13.contains("vec:array") &&
+        p13.contains("dgen"), p13)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)

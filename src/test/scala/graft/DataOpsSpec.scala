@@ -398,4 +398,37 @@ class DataOpsSpec extends AnyFunSuite {
       Seq((100L, 100L), (101L, 100L), (200L, 200L), (201L, 200L), (202L, 200L))
     assert(got.toSeq == want)
   }
+
+  test("connected components: convergence rides the checkpoint — no extra action per round") {
+    // the per-round convergence test must be folded into the round's own
+    // checkpoint job (a separate compare-join + isEmpty would double the
+    // per-round action count); assert via a QueryExecutionListener that
+    // the ONLY Dataset actions the loop issues are the checkpoints
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.add(s"FAIL:$funcName")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (0L until 8L).map(i => (i + 1, i)).toDF("a", "b")
+      val comp = Dedup.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect()
+      assert(comp.forall(_._2 == 0L))
+      // listener delivery is async — drain before asserting
+      var waited = 0
+      while (waited < 10000 && actions.isEmpty) { Thread.sleep(200); waited += 200 }
+      Thread.sleep(500)
+      val inLoop = actions.toArray.map(_.toString)
+        .filterNot(_ == "collect") // the final assertion's own action
+      assert(inLoop.nonEmpty, "listener saw no actions")
+      assert(inLoop.forall(_.toLowerCase.contains("checkpoint")),
+        s"loop issued non-checkpoint actions: ${inLoop.mkString(", ")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
