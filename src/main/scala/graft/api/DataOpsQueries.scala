@@ -575,6 +575,31 @@ object DataOpsQueries {
 
   val annIvfRebalanceSql: String = bruteCosineTopKSql("vec_id % 11 <> 5")
 
+  /** IVF+PQ REBALANCE: same lifecycle as ann_ivf_rebalance on the composed
+    * index — skewed model (32-vector prefix) + append + delete, then
+    * `IvfPq.rebalance` re-lists the survivors against re-trained centroids
+    * (codebooks kept — shared-codebook codes are list-independent). Full
+    * probe + full rerank must still hash-match brute force over the
+    * survivors. */
+  def annIvfPqRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val path = cachedArtifact(dir, "ivfpq-idx-rebalance") { p =>
+      graft.ml.IvfPq.build(emb.where(col("vec_id") < 32),
+        "vec_id", "embedding", p, nlist = 8, m = 8, kCent = 16)
+      graft.ml.IvfPq.append(emb.where(col("vec_id") >= 32),
+        "vec_id", "embedding", p)
+      graft.ml.IvfPq.delete(spark, p,
+        emb.where(col("vec_id") % 11 === 5).select("vec_id"), "vec_id")
+      graft.ml.IvfPq.rebalance(spark, p, iters = 3)
+    }
+    val n = emb.count()
+    require(n <= Int.MaxValue, s"embeddings rows $n exceed rerank addressability")
+    graft.ml.IvfPq.search(spark, path, queryVec(spark, dir),
+      k = 10, nprobe = 8, rerank = n.toInt, excludeId = Some(0L))
+  }
+
+  val annIvfPqRebalanceSql: String = bruteCosineTopKSql("vec_id % 11 <> 5")
+
   /** BATCH IVF+PQ: 5 query vectors, all lists probed + full-corpus rerank
     * (exact path — the code-only ADC join, per-query column LUT, float
     * fetch-back and double window rank verified hash-exact vs brute
@@ -1112,6 +1137,7 @@ object DataOpsQueries {
     "ann_ivf_delete" -> annIvfDelete,
     "ann_ivfpq_delete" -> annIvfPqDelete,
     "ann_ivf_rebalance" -> annIvfRebalance,
+    "ann_ivfpq_rebalance" -> annIvfPqRebalance,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_ivfpq_batch" -> annIvfPqBatch,
@@ -1159,6 +1185,7 @@ object DataOpsQueries {
     "ann_ivf_delete" -> annIvfDeleteSql,
     "ann_ivfpq_delete" -> annIvfPqDeleteSql,
     "ann_ivf_rebalance" -> annIvfRebalanceSql,
+    "ann_ivfpq_rebalance" -> annIvfPqRebalanceSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivfpq_batch" -> annIvfPqBatchSql,

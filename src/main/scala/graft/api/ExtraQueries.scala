@@ -189,6 +189,17 @@ object ExtraQueries {
     Introspect.schemaCmd(Tables.documentsIndex(spark, dir))
       .orderBy("section", "name")
 
+  /** `object_inspect` command over every index table + one column (driver
+    * has no oracle for introspection → rows-only; body goldens in
+    * SchemaCmdSpec) */
+  def objectInspectCmd(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsIndex(spark, dir)
+    Seq("postings", "terms", "terms_rev", "docs", "terms.term")
+      .map(n => Introspect.objectInspect(idx, n))
+      .reduce(_ union _)
+      .orderBy("name")
+  }
+
   /** snippet_html: centered tagged windows with the reference defaults'
     * shape (width-clamped start = match_start - (width - len)/2, span
     * keyword tags). The gate checks the FIRST window byte-identically;
@@ -1182,6 +1193,7 @@ object ExtraQueries {
     "table_list" -> tableListCmd,
     "column_list" -> columnListCmd,
     "schema_cmd" -> schemaCmd,
+    "object_inspect" -> objectInspectCmd,
     "ft_leading_not" -> leadingNot,
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,

@@ -95,6 +95,45 @@ object Introspect {
       .toDF("section", "name", "body")
   }
 
+  /** `object_inspect` analogue (reference lib/proc/proc_object_inspect.c;
+    * body shape after test/command/suite/object_inspect/table.expected:
+    * id/name/type/key/n_records). One row per inspected object; inspect a
+    * table by name, or a column as "table.column". `disk_usage` is
+    * deliberately omitted — parquet footprint varies with codec/runtime,
+    * and a non-deterministic field would poison golden tests. */
+  def objectInspect(idx: GraftIndex, name: String): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    def tableDf(t: String) = t match {
+      case "postings" => idx.postings
+      case "terms" => idx.terms
+      case "docs" => idx.docs
+      case "terms_rev" => spark.read.parquet(s"${idx.path}/terms_rev")
+      case other => throw new IllegalArgumentException(
+        s"unknown index table '$other' (${Tables.mkString(", ")})")
+    }
+    val body = name.split('.') match {
+      case Array(t) =>
+        val i = Tables.indexOf(t)
+        require(i >= 0, s"unknown object '$name'")
+        val n = tableDf(t).count()
+        s"""{"id":$i,"name":"$t","type":{"name":"table:pat_key"},""" +
+          s""""key":{"type":{"name":"ShortText","type":{"name":"type"}}},""" +
+          s""""n_records":$n}"""
+      case Array(t, c) =>
+        val df = tableDf(t)
+        val f = df.schema.fields.zipWithIndex.find(_._1.name == c)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown column '$c' in '$t'"))
+        val ty = CommandFormat.grnType(f._1.dataType)
+        s"""{"id":${f._2},"name":"$c","table":"$t",""" +
+          s""""type":{"name":"$ty","raw":{"name":"$ty"}},""" +
+          s""""value":{"type":{"name":"$ty"}},"n_records":${df.count()}}"""
+      case _ => throw new IllegalArgumentException(s"bad object name '$name'")
+    }
+    Seq((name, body)).toDF("name", "body")
+  }
+
   def columnList(idx: GraftIndex, table: String = "postings"): DataFrame = {
     val spark = idx.spark
     import spark.implicits._

@@ -213,7 +213,8 @@ object AnnIndex {
 
   /** Per-list surviving-row counts INCLUDING empty lists — the list-balance
     * health metric appends drift (frozen centroids, moving distribution).
-    * Cost: one projection-pruned scan of two narrow columns. */
+    * Cost: one projection-pruned scan of two narrow columns. Also valid on
+    * an [[IvfPq]] path (same centroids/lists/state layout). */
   def listStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val st = VecStore.read(spark, path)

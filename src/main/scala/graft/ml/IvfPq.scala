@@ -170,6 +170,48 @@ object IvfPq {
       lists = s"lists-c$v", vecs = s"vecs-c$v", deletes = s"deletes-c$v"))
   }
 
+  /** Re-train the coarse centroids on the SURVIVING corpus (hash-seeded
+    * like [[AnnIndex.rebalance]] — data-proportional seeds split the
+    * skewed mode that motivated the rebalance) and rewrite the code lists
+    * against them, folding tombstones into fresh gen-0 dirs behind the
+    * atomic state swap. The PQ CODEBOOKS are intentionally kept: codes
+    * quantize the normalized raw vectors independently of list assignment
+    * (shared-codebook design, see the layout note), so re-listing does not
+    * invalidate them — only a distribution shift in the vectors themselves
+    * warrants a codebook re-train, which is a full build(). */
+  def rebalance(spark: SparkSession, path: String, iters: Int = 5,
+      filesPerList: Int = 1): Unit = {
+    import spark.implicits._
+    val st = VecStore.read(spark, path)
+    val (dim, m, _, nlist) = readMeta(spark, path)
+    val sub = dim / m
+    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val alive = aliveVecs(spark, path, st).persist()
+    try {
+      val v = st.gen + 1
+      val cents = AnnIndex.trainCentroids(alive, "vec_id", "vec", nlist, iters,
+          hashSeeds = true)
+        .zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }.toArray
+      val (newCents, newLists, newVecs) =
+        (s"centroids-r$v", s"lists-r$v", s"vecs-r$v")
+      cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/$newCents")
+      alive.withColumn("gen", lit(0L))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$path/$newVecs")
+      val bcC = spark.sparkContext.broadcast(cents)
+      val bcB = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
+      alive.as[(Long, Array[Float])].map { case (id, vec) =>
+          (AnnIndex.assignList(vec, bcC.value), id,
+            PqIndex.encode(vec, bcB.value, m, sub), 0L)
+        }.toDF("list_id", "vec_id", "code", "gen")
+        .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$path/$newLists")
+      VecStore.commit(spark, path,
+        VecStore.State(0L, newLists, newVecs, s"deletes-r$v", newCents))
+    } finally alive.unpersist()
+  }
+
   /** surviving rerank vectors (vec_id, vec) — the fetch-back source */
   private def aliveVecs(spark: SparkSession, path: String,
       st: VecStore.State): DataFrame =

@@ -118,6 +118,11 @@ class AnnIndexSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSeq
     assert(got == want)
     assert(got.forall(_ % 7 != 3))
+    // the BATCH path must filter the same tombstones
+    val batch = AnnIndex.searchBatch(spark, p, df.where($"vec_id" < 3),
+        "vec_id", "embedding", k = 8, nprobe = 32)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(batch.nonEmpty && batch.forall(_ % 7 != 3), s"batch leaked tombstones: $batch")
   }
 
   test("delete-then-append reuses the id: fresh vector searchable, stale one gone") {

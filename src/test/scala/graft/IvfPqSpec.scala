@@ -156,6 +156,34 @@ class IvfPqSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$p/${st.vecs}").count() == expectRows)
   }
 
+  test("rebalance: skewed appends re-listed, codebooks kept, exactness preserved") {
+    import graft.ml.AnnIndex
+    val p = s"$tmp/ivfpq-rebalance"
+    val df = (0L until n).map(id => (id, vec(id).toSeq)).toDF("vec_id", "embedding")
+    IvfPq.build(df, "vec_id", "embedding", p, nlist = 12, m = 8, kCent = 16)
+    // flood one region: 600 fresh cluster-3 vectors pile into few lists
+    val flood = (1000L until 1600L).map(id => (id, vec(3L + (id % 7) * 70).toSeq))
+    IvfPq.append(flood.toDF("vec_id", "embedding"), "vec_id", "embedding", p)
+    IvfPq.delete(spark, p, (0L until n.toLong).filter(_ % 9 == 4))
+    val skewed = AnnIndex.imbalance(spark, p)
+    assert(skewed > 2.0, s"flood should skew the code lists: $skewed")
+    IvfPq.rebalance(spark, p, iters = 3)
+    val balanced = AnnIndex.imbalance(spark, p)
+    assert(balanced < skewed / 1.5, s"imbalance: $skewed -> $balanced")
+    // full probe + full rerank stays exact over base+flood survivors
+    val all = ((0L until n).map(id => (id, vec(id))) ++
+      flood.map { case (id, v) => (id, v.toArray) }).toMap
+    def top(q: Array[Float], k: Int): Seq[Long] =
+      all.toSeq.filter { case (id, _) => id % 9 != 4 || id >= 1000 }
+        .map { case (id, v) =>
+          (BigDecimal(cos(q, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+        }.sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+    val q = vec(5L)
+    val got = IvfPq.search(spark, p, q, k = 10, nprobe = 12,
+      rerank = n + flood.size).collect().map(_.getLong(0)).toSeq
+    assert(got == top(q, 10))
+  }
+
   test("rerank fetch touches exactly the candidate ids (isin path)") {
     // small rerank → driver collects ≤ rerank ids and the float fetch is a
     // pushed-down vec_id IN over the vec_id-sorted vecs table

@@ -57,4 +57,17 @@ class SchemaCmdSpec extends AnyFunSuite {
       """"command_line":"column_create --table terms --name term --type ShortText""""),
       termCol)
   }
+
+  test("object_inspect: table body with n_records, column body, bad names refused") {
+    val docs = Introspect.objectInspect(idx, "docs")
+      .select("body").as[String].head()
+    assert(docs.contains(""""name":"docs","type":{"name":"table:pat_key"}"""), docs)
+    assert(docs.contains(""""n_records":2"""), docs)
+    val col = Introspect.objectInspect(idx, "docs.doc_id")
+      .select("body").as[String].head()
+    assert(col.contains(""""name":"doc_id","table":"docs""""), col)
+    assert(col.contains(""""n_records":2"""), col)
+    intercept[IllegalArgumentException](Introspect.objectInspect(idx, "nope"))
+    intercept[IllegalArgumentException](Introspect.objectInspect(idx, "docs.nope"))
+  }
 }
