@@ -70,6 +70,36 @@ object Demo {
       s"pre-upsert snapshot still matches 'spark' on doc $victim: " +
       s"${pinned.searchTerms(Seq("spark")).where(org.apache.spark.sql.functions.col("doc_id") === victim).count() == 1}")
 
+    // vector-index lifecycle: build -> append -> delete -> rebalance ->
+    // search, full probe exact over the survivors at every step
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val vdir = java.nio.file.Files.createTempDirectory("graft-demo-vec")
+        .toString + "/ivf"
+      // base corpus spans 8 modes; the APPEND floods a single mode — the
+      // frozen-centroid skew that imbalance() detects and rebalance() fixes
+      def vvec(id: Long): Array[Float] = {
+        val mode = if (id < 300) id % 8 else 3L
+        Array.tabulate(16) { d =>
+          (math.sin(mode * 7.3 + d * 1.7) * 5 + math.sin(id * 13.1 + d) * 0.3).toFloat
+        }
+      }
+      val emb = (0L until 600L).map(i => (i, vvec(i))).toDF("vec_id", "embedding")
+      graft.ml.AnnIndex.build(emb.where($"vec_id" < 300), "vec_id", "embedding",
+        vdir, nlist = 8)
+      graft.ml.AnnIndex.append(emb.where($"vec_id" >= 300), "vec_id", "embedding", vdir)
+      graft.ml.AnnIndex.delete(spark, vdir, (0L until 600L).filter(_ % 5 == 2))
+      val skew = graft.ml.AnnIndex.imbalance(spark, vdir)
+      graft.ml.AnnIndex.rebalance(spark, vdir)
+      val bal = graft.ml.AnnIndex.imbalance(spark, vdir)
+      val hits = graft.ml.AnnIndex.search(spark, vdir, vvec(7), k = 5, nprobe = 8)
+        .select("vec_id").as[Long].collect()
+      println(f"[demo] vector lifecycle: append+delete+rebalance " +
+        f"(imbalance $skew%.2f -> $bal%.2f), top-5 over survivors: " +
+        s"${hits.mkString(",")} (tombstones filtered: ${hits.forall(_ % 5 != 2)})")
+    }
+
     // html ingestion front: real pages (tags + char refs) -> NormalizerHTML
     // extraction -> byte-identical text per url (the input-hint invariant)
     {
