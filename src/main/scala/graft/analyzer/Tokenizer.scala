@@ -316,6 +316,145 @@ final class PatternTokenizer(pattern: String) extends Tokenizer {
   }
 }
 
+/** TokenRegexp — the gram stream the reference's INDEXED regexp search
+  * rides (/root/reference/lib/tokenizers.c:1289-1545).
+  *
+  * ADD mode brackets the text with begin/end marks (U+FFEF / U+FFF0) and
+  * emits stride-1 bigrams that never cross a blank; every blank gap
+  * consumes ONE position (the reference's empty SKIP token,
+  * tokenizers.c:1409-1415), so `\A`-/`\z`-anchored literals can be matched
+  * as mark-bracketed phrases against the grams.
+  *
+  * GET mode re-anchors marks embedded in the query string, strides bigrams
+  * with the n_skip_tokens pattern (tokenizers.c:1505-1530), bypasses the
+  * stride at blank breaks / end-mark breaks / input end, and hides
+  * unmatured overlapped grams exactly like the token cursor does
+  * (/root/reference/lib/token_cursor.c:497-502) — blanks consume NO
+  * position on the query side. Token/position streams reproduce the
+  * reference goldens (test/command/suite/tokenizers/regexp) byte-for-byte
+  * (TokenRegexpSpec transcribes all of them). */
+final class TokenRegexpTokenizer extends Tokenizer {
+  import TokenRegexpTokenizer._
+  val name = "TokenRegexp"
+
+  def tokenize(raw: String, mode: TokenizeMode): Array[Token] = mode match {
+    case TokenizeMode.Add => add(raw)
+    case TokenizeMode.Get => get(raw)
+  }
+
+  /** maximal blank-free [start, end) runs of the normalized text */
+  private def runsOf(text: String, cls: Array[Byte]): Seq[(Int, Int)] = {
+    val runs = new ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < text.length) {
+      if (cls(i) == CharClass.Blank) i += 1
+      else {
+        var j = i
+        while (j < text.length && cls(j) != CharClass.Blank) j += 1
+        runs += ((i, j))
+        i = j
+      }
+    }
+    runs.toSeq
+  }
+
+  private def add(raw: String): Array[Token] = {
+    val norm = Normalizer.normalize(raw)
+    val text = norm.text
+    val out = new ArrayBuffer[Token](text.length + 3)
+    out += Token(BeginMark, 0, 0)
+    var pos = 1
+    var first = true
+    runsOf(text, norm.classes).foreach { case (a, b) =>
+      if (!first) pos += 1 // the gap's empty SKIP token consumes a position
+      first = false
+      var s = a
+      while (s < b) {
+        val e = math.min(s + 2, b)
+        var st = 0
+        if (s > a) st |= TokenStatus.Overlap
+        if (e - s < 2) st |= TokenStatus.Unmatured
+        out += Token(text.substring(s, e), pos, st)
+        pos += 1
+        s += 1
+      }
+    }
+    out += Token(EndMark, pos, TokenStatus.Last)
+    out.toArray
+  }
+
+  private def get(raw: String): Array[Token] = {
+    val hasBegin = raw.startsWith(BeginMark)
+    val from = if (hasBegin) 1 else 0
+    val hasEnd = raw.length > from && raw.endsWith(EndMark)
+    val body = raw.substring(from, raw.length - (if (hasEnd) 1 else 0))
+    val norm = Normalizer.normalize(body)
+    val text = norm.text
+    val out = new ArrayBuffer[Token](text.length / 2 + 3)
+    var pos = 0
+    if (hasBegin) {
+      out += Token(BeginMark, 0,
+        if (text.isEmpty && !hasEnd) TokenStatus.Last else 0)
+      pos = 1
+    }
+    val runs = runsOf(text, norm.classes)
+    var skip = 0
+    var isStart = true // reference inits is_start_token = true
+    var prevLen = 0 // drives the cursor's overlap-hide rule
+    var ri = 0
+    while (ri < runs.length) {
+      val (a, b) = runs(ri)
+      val lastRun = ri == runs.length - 1
+      var s = a
+      while (s < b) {
+        val e = math.min(s + 2, b)
+        val glen = e - s
+        val atTextEnd = e == b && lastRun
+        val overlap = prevLen > 1
+        val unmatured = glen < 2
+        val startTok = isStart
+        isStart = false
+        var emit = false
+        var status = 0
+        if (overlap) status |= TokenStatus.Overlap
+        if (unmatured) status |= TokenStatus.Unmatured
+        if (atTextEnd && !hasEnd) {
+          // current == end: emitted regardless of the stride counter
+          status |= TokenStatus.Last
+          if (unmatured) status |= TokenStatus.ForcePrefix
+          emit = true
+        } else if (e == b && !atTextEnd) {
+          // break_by_blank: emitted, stride reset, next token is a start
+          skip = 0; isStart = true; emit = true
+        } else if (atTextEnd && hasEnd) {
+          // break_by_end_mark: unmatured non-start grams are skipped
+          emit = startTok || !unmatured
+        } else if (skip > 0) {
+          skip -= 1 // n_skip_tokens: stride-interior gram, hidden
+        } else {
+          skip = 1; emit = true
+        }
+        // token-cursor GET rule: unmatured overlapped grams are hidden
+        // (they still consume their position)
+        if (unmatured && overlap) emit = false
+        if (emit) out += Token(text.substring(s, e), pos, status)
+        prevLen = glen
+        pos += 1
+        s += 1
+      }
+      ri += 1 // query-side blanks consume no position
+    }
+    if (hasEnd) out += Token(EndMark, pos, TokenStatus.Last)
+    out.toArray
+  }
+}
+
+object TokenRegexpTokenizer {
+  /** GRN_TOKENIZER_BEGIN_MARK_UTF8 / END_MARK_UTF8 (U+FFEF / U+FFF0) */
+  final val BeginMark = "￯"
+  final val EndMark = "￰"
+}
+
 /** TokenTable — tokenize by GREEDY LONGEST MATCH against a fixed lexicon
   * key set; unmatched chars are skipped
   * (/root/reference/lib/tokenizers.c registration :3203). */
@@ -487,6 +626,7 @@ object Analyzers {
     NgramOptions(n = 2, ignoreBlank = true), "TokenBigramIgnoreBlank")
   val delimit = new DelimitTokenizer
   val delimitNull = new DelimitTokenizer("TokenDelimitNull", "\u0000+")
+  val regexp = new TokenRegexpTokenizer
 
   private def filterByName(spec: String): TokenFilter = {
     val p = spec.indexOf('(')
@@ -537,6 +677,7 @@ object Analyzers {
     case "TokenBigramIgnoreBlank" => bigramIgnoreBlank
     case "TokenDelimit" => delimit
     case "TokenDelimitNull" => delimitNull
+    case "TokenRegexp" => regexp
     case other if other.startsWith("TokenNgram:") =>
       // option surface of grn_ngram_options
       // (/root/reference/lib/tokenizers.c:452-463): either a bare gram size

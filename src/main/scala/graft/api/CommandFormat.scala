@@ -225,6 +225,35 @@ object CommandFormat {
     sb.toString
   }
 
+  // ---- msgpack output (output_type=msgpack). The reference packs the SAME
+  // v1 envelope tree through the MessagePack packers (lib/msgpack.c wiring,
+  // lib/output.c:293-1161) instead of the JSON printer; typed scalars keep
+  // their width (no base64, no integral-double folding). Trees are plain
+  // Scala values; graft.api.Msgpack does the byte encoding. ----
+
+  /** v1 body as a value tree: [[n_hits], [[name,type]...], rows...].
+    * Rows pack as arrays (Msgpack handles Row/Seq/Map nesting). */
+  def bodyTree(df: DataFrame, nHits: Long, maxRows: Int = 10000): Vector[Any] = {
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"result exceeds maxRows=$maxRows — apply the command's limit before formatting")
+    val cols: Vector[Any] =
+      df.schema.fields.map(f => Vector(f.name, grnType(f.dataType)): Any).toVector
+    Vector(Vector(nHits): Any, cols) ++ rows.map(r => r: Any)
+  }
+
+  /** full v1 envelope as msgpack bytes; positional drilldowns append as
+    * sibling result sets, labeled drilldowns as one trailing map — the
+    * exact two select.rst output shapes, like [[envelope]] for JSON. */
+  def msgpack(searchBody: Vector[Any], drilldowns: Seq[Vector[Any]] = Nil,
+      labeled: Map[String, Vector[Any]] = Map.empty,
+      returnCode: Int = 0, startSec: Double = 0.0,
+      elapsedSec: Double = 0.0): Array[Byte] = {
+    val parts: Vector[Any] = (Vector(searchBody: Any) ++ drilldowns) ++
+      (if (labeled.isEmpty) Nil else Vector(labeled: Any))
+    Msgpack.pack(Vector(Vector[Any](returnCode, startSec, elapsedSec): Any, parts))
+  }
+
   /** v3 envelope. Drilldowns nest INSIDE the body as a labeled object —
     * in v3 even plain (positional) drilldowns are keyed by their column
     * name (the reference golden keys the `--drilldown tag` result as

@@ -222,6 +222,31 @@ object ExtraQueries {
       |    '<span class="keyword">\0</span>', 'g') AS snip
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** output_type=msgpack: the select_cmd result packed into the reference's
+    * msgpack envelope (api.Msgpack — pure Scala off the public spec, wired
+    * like lib/msgpack.c + lib/output.c:293-1161) and decoded back by the
+    * independent unpacker; the gate emits the DECODED rows, so the DuckDB
+    * oracle checks every value that crossed the byte format. Byte-level
+    * encoding goldens live in MsgpackSpec. The envelope is tiny by
+    * construction (select_cmd carries offset/limit). */
+  def msgpackCmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val res = selectCmd(spark, dir)
+    val bytes = CommandFormat.msgpack(
+      CommandFormat.bodyTree(res, nHits = res.count()))
+    val env = Msgpack.unpack(bytes).asInstanceOf[Vector[Any]]
+    require(env(0) == Vector(0L, 0.0, 0.0), "msgpack envelope header mismatch")
+    val rs = env(1).asInstanceOf[Vector[Any]](0).asInstanceOf[Vector[Any]]
+    require(rs(1) == Vector(Vector("doc_id", "Int64"), Vector("score", "Int64")),
+      "msgpack column header mismatch")
+    rs.drop(2)
+      .map { r =>
+        val v = r.asInstanceOf[Vector[Any]]
+        (v(0).asInstanceOf[Long], v(1).asInstanceOf[Long])
+      }
+      .toDF("doc_id", "score")
+  }
+
   /** QUERY_ALLOW_LEADING_NOT: `-spark` selects every record NOT matching
     * spark (all-records AND-NOT), score 0 — off by default (syntax error),
     * as in the reference. */
@@ -1164,6 +1189,7 @@ object ExtraQueries {
     "ft_query_syntax" -> querySyntax,
     "ft_query_or_phrase" -> queryOrPhrase,
     "select_cmd" -> selectCmd,
+    "msgpack_cmd" -> msgpackCmd,
     "tokenize_cmd" -> tokenizeCmd,
     "tokenize_filtered" -> tokenizeFiltered,
     "scorer_expr" -> scorerExpr,
@@ -1209,6 +1235,7 @@ object ExtraQueries {
     "ft_query_syntax" -> querySyntaxSql,
     "ft_query_or_phrase" -> queryOrPhraseSql,
     "select_cmd" -> selectCmdSql,
+    "msgpack_cmd" -> selectCmdSql,
     "tokenize_cmd" -> tokenizeCmdSql,
     "tokenize_filtered" -> tokenizeFilteredSql,
     "scorer_expr" -> scorerExprSql,

@@ -169,6 +169,37 @@ object FulltextQueries {
       |WHERE term IN (SELECT term FROM df WHERE regexp_matches(term, '^qu.*y$'))
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Document-level regexp over the TokenRegexp grams index (the
+    * reference's indexed `@~`: TokenRegexp ADD grams + begin/end marks,
+    * /root/reference/lib/tokenizers.c:1289): each pattern's required
+    * literal prunes through a mark-bracketed gram phrase (`\A`/`\z` ride
+    * the marks, so anchored patterns prune by position), then the full
+    * regex confirms each candidate on the doc text — index prune + exact
+    * verify, the Spark shape of the reference's Onigmo re-check. Patterns
+    * cover begin-anchor, end-anchor, a class pattern (mid-pattern
+    * literal), and a multiword literal (longest blank-free run). */
+  def regexpGrams(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documentsRegexpIndex(spark, dir)
+    val docs = Tables.table(spark, dir, "documents")
+    val pats = Seq("\\Aspark", "scan\\z", "sp[aeiou]rk", "batch batch")
+    pats.map { p =>
+      val cands = idx.searchRegexpGrams(p) match {
+        case Some(c) => docs.join(c.select(col("doc_id")), Seq("doc_id"))
+        case None => docs
+      }
+      cands.where(col("text").rlike(p))
+        .select(lit(p).as("pattern"), col("doc_id"))
+    }.reduce(_.unionByName(_)).orderBy("pattern", "doc_id")
+  }
+
+  val regexpGramsSql: String =
+    """SELECT pattern, doc_id FROM (
+      |  SELECT '\Aspark' AS pattern, doc_id FROM documents WHERE regexp_matches(text, '\Aspark')
+      |  UNION ALL SELECT 'scan\z', doc_id FROM documents WHERE regexp_matches(text, 'scan\z')
+      |  UNION ALL SELECT 'sp[aeiou]rk', doc_id FROM documents WHERE regexp_matches(text, 'sp[aeiou]rk')
+      |  UNION ALL SELECT 'batch batch', doc_id FROM documents WHERE regexp_matches(text, 'batch batch')
+      |) ORDER BY pattern, doc_id""".stripMargin
+
   def unsplit(spark: SparkSession, dir: String): DataFrame =
     longScore(Tables.documentsIndex(spark, dir)
       .searchTerms(Seq("dup"), MatchMode.All, ScoreMode.Tf))
@@ -601,6 +632,7 @@ object FulltextQueries {
     "ft_fuzzy" -> fuzzy,
     "ft_fuzzy_transposition" -> fuzzyTransposition,
     "ft_regexp" -> regexp,
+    "ft_regexp_grams" -> regexpGrams,
     "ft_unsplit" -> unsplit,
     "ft_adjuster" -> adjuster,
     "ft_escalation" -> escalation,
@@ -633,6 +665,7 @@ object FulltextQueries {
     "ft_fuzzy" -> fuzzySql,
     "ft_fuzzy_transposition" -> fuzzyTranspositionSql,
     "ft_regexp" -> regexpSql,
+    "ft_regexp_grams" -> regexpGramsSql,
     "ft_unsplit" -> unsplitSql,
     "ft_adjuster" -> adjusterSql,
     "ft_escalation" -> escalationSql,

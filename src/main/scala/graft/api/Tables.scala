@@ -35,6 +35,18 @@ object Tables {
     })
   }
 
+  /** TokenRegexp grams index (begin/end marks + stride-1 bigrams that
+    * never cross a blank) — the indexed regexp-search surface
+    * (/root/reference/lib/tokenizers.c:1289). */
+  def documentsRegexpIndex(spark: SparkSession, sfDir: String): GraftIndex = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "-rx"
+    cache.computeIfAbsent(key, { _ =>
+      val out = s"/tmp/graft-cache/$key/documents-idx"
+      IndexBuilder.build(spark, table(spark, sfDir, "documents"),
+        "doc_id", "text", out, IndexConfig(tokenizer = "TokenRegexp"))
+    })
+  }
+
   /** Base documents index with a deterministic mutation batch applied:
     * doc_id % 50 == 7 deleted, doc_id % 50 == 3 upserted to a fixed marker
     * text. Built ONCE per JVM (like the other gate indexes) so the

@@ -665,6 +665,37 @@ final case class GraftIndex(spark: SparkSession, path: String,
     dict.where($"term".rlike(pattern)).select($"term").distinct()
   }
 
+  /** Index-accelerated regexp CANDIDATES over a TokenRegexp-grams index
+    * (the reference's indexed `@~` path: TokenRegexp ADD grams +
+    * begin/end marks, /root/reference/lib/tokenizers.c:1289-1545): the
+    * pattern's required literal run becomes a gram phrase — `\A`/`^`
+    * anchors ride the begin mark, `\z`/`$` the end mark, so anchored
+    * patterns prune by POSITION too, not just containment. Any doc
+    * matching the regex contains the literal contiguously and blank-free,
+    * so its stride-1 ADD grams align with the GET phrase — candidates are
+    * a sound superset and the caller re-verifies with the full regex.
+    * None when no usable literal exists (single chars need the unmatured-
+    * tail prefix expansion the phrase kernel doesn't do — callers fall
+    * back to the sequential confirm). */
+  def searchRegexpGrams(pattern: String): Option[DataFrame] = {
+    require(meta.tokenizer.startsWith("TokenRegexp"),
+      s"searchRegexpGrams needs a TokenRegexp-analyzed index (got ${meta.tokenizer})")
+    val hasBegin = pattern.startsWith("\\A") || pattern.startsWith("^")
+    val beginLen = if (pattern.startsWith("\\A")) 2 else if (hasBegin) 1 else 0
+    val hasEnd = (pattern.endsWith("\\z") && !pattern.endsWith("\\\\z")) ||
+      (pattern.endsWith("$") && !pattern.endsWith("\\$"))
+    val endLen = if (pattern.endsWith("\\z")) 2 else if (hasEnd) 1 else 0
+    val core = pattern.substring(beginLen, pattern.length - endLen)
+    val (lit, atStart, atEnd) = GraftIndex.regexpRequiredLiteral(core)
+    if (lit.length < 2) None
+    else {
+      val q = (if (hasBegin && atStart) graft.analyzer.TokenRegexpTokenizer.BeginMark else "") +
+        lit +
+        (if (hasEnd && atEnd) graft.analyzer.TokenRegexpTokenizer.EndMark else "")
+      Some(searchPhrase(q))
+    }
+  }
+
   def searchRegexp(pattern: String, maxExpansions: Int = 1024): DataFrame = {
     val matching = regexpDictionary(pattern)
     val sample = matching.limit(maxExpansions + 1).as[String].collect()
@@ -873,5 +904,68 @@ object GraftIndex {
     // a quantifier could still follow the scan break via lookahead etc.;
     // the loop already stopped before consuming it, so sb is proven
     sb.toString
+  }
+
+  /** Longest blank-free literal run REQUIRED by every match of `core` (a
+    * pattern whose outer `\A`/`^` / `\z`/`$` anchors are already stripped),
+    * plus whether that run abuts the core's start / end. Conservative
+    * candidate extraction in the public trigram-index style (Cox 2012,
+    * "Regular Expression Matching with a Trigram Index"): a quantifier
+    * un-requires its preceding char, classes/dots break runs, and the scan
+    * stops at the first group or alternation (runs found before it stay
+    * sound). Soundness = no false negatives: every string matching the
+    * pattern contains every returned run contiguously, so gram-phrase
+    * candidates on the run are a superset of the regexp's matches and the
+    * caller's full-regex confirm is exact. */
+  def regexpRequiredLiteral(core: String): (String, Boolean, Boolean) = {
+    val runs = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    val cur = new StringBuilder
+    var curStart = 0
+    var i = 0
+    var stopped = false
+    def flush(endIdx: Int): Unit = {
+      if (cur.nonEmpty) runs += ((cur.toString, curStart, endIdx))
+      cur.setLength(0)
+    }
+    while (i < core.length && !stopped) {
+      core.charAt(i) match {
+        case '(' | '|' => stopped = true; flush(i)
+        case '?' | '*' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1) // preceding char optional
+          flush(i); i += 1
+        case '{' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush(i)
+          val j = core.indexOf('}', i)
+          i = if (j < 0) core.length else j + 1
+        case '+' => flush(i); i += 1 // prev char required, adjacency beyond unknown
+        case '.' | ')' | '}' | ']' | '^' | '$' => flush(i); i += 1
+        case '[' =>
+          flush(i)
+          var j = i + 1
+          if (j < core.length && core.charAt(j) == '^') j += 1
+          if (j < core.length && core.charAt(j) == ']') j += 1
+          while (j < core.length && core.charAt(j) != ']') {
+            if (core.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          i = if (j >= core.length) core.length else j + 1
+        case '\\' if i + 1 < core.length =>
+          val e = core.charAt(i + 1)
+          if (Character.isLetterOrDigit(e)) { flush(i); i += 2 } // \d \w \b … class/boundary
+          else { if (cur.isEmpty) curStart = i; cur.append(e); i += 2 }
+        case ch if Character.isWhitespace(ch) =>
+          flush(i); i += 1 // grams never cross blanks
+        case ch =>
+          if (cur.isEmpty) curStart = i
+          cur.append(ch); i += 1
+      }
+    }
+    if (!stopped) flush(core.length)
+    if (runs.isEmpty) ("", false, false)
+    else {
+      val (txt, s, e) = runs.maxBy(_._1.length)
+      (txt, s == 0, !stopped && e == core.length)
+    }
   }
 }
