@@ -395,6 +395,32 @@ object ExtraQueries {
        |WHERE df.term LIKE 's%'
        |ORDER BY freq DESC, df.df DESC, df.term LIMIT 10""".stripMargin
 
+  /** STREAMING learner ingestion: the same derived event log landed as
+    * parquet, streamed back through `Suggest.learnStream` (stateful
+    * flatMapGroupsWithState session tails emitting mergeable deltas), the
+    * delta stream folded by `mergeDeltas` — the pair table must equal the
+    * BATCH learner's, so the gate replays the `suggest_learn_pairs` oracle
+    * verbatim. Multi-batch/equivalence coverage lives in SuggestStreamSpec. */
+  def suggestLearnStream(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val evDir = s"/tmp/graft-cache/$key/learn-events"
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, evDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evDir/_SUCCESS")))
+      learnEvents(spark, dir).coalesce(1).write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    val stream = spark.readStream.schema(schema).parquet(evDir)
+    val ck = java.nio.file.Files.createTempDirectory("graft-slck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-slout").toString
+    val q = graft.operators.Suggest.learnStream(stream).toDF()
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination()
+    val (_, pairs) = graft.operators.Suggest.mergeDeltas(spark.read.parquet(outDir))
+    pairs.orderBy("pre", "post")
+  }
+
   /** suggest-cooccurrence: terms sharing docs with the query term, by
     * number of co-occurring docs (bucket-pruned postings decode) */
   def suggestCooccur(spark: SparkSession, dir: String): DataFrame =
@@ -1224,6 +1250,7 @@ object ExtraQueries {
     "suggest_complete" -> suggestComplete,
     "suggest_learned" -> suggestLearned,
     "suggest_learn" -> suggestLearn,
+    "suggest_learn_stream" -> suggestLearnStream,
     "suggest_learn_pairs" -> suggestLearnPairs,
     "suggest_correct" -> suggestCorrect,
     "suggest_cooccur" -> suggestCooccur,
@@ -1269,6 +1296,7 @@ object ExtraQueries {
     "suggest_complete" -> suggestCompleteSql,
     "suggest_learned" -> suggestLearnedSql,
     "suggest_learn" -> suggestLearnSql,
+    "suggest_learn_stream" -> suggestLearnPairsSql,
     "suggest_learn_pairs" -> suggestLearnPairsSql,
     "suggest_correct" -> suggestCorrectSql,
     "suggest_cooccur" -> suggestCooccurSql,

@@ -89,6 +89,93 @@ object Suggest {
     (items, pairs)
   }
 
+  /** one learner event (streaming front input row) */
+  case class LearnEvent(seq_id: Long, ts_us: Long, item: String, submit: Boolean)
+
+  /** per-seq state for the streaming learner: the session tail — the last
+    * submit (the walk's freq1 anchor) plus every later event, horizon-
+    * pruned. (ts_us, item, submit) triples, ascending ts. */
+  case class LearnTail(events: Seq[(Long, String, Boolean)])
+
+  /** one learner DELTA: kind ∈ item/item2/pair0/pair1/pair2; `a`/`b` are
+    * (item, "") for item kinds and (pre, post) for pair kinds. Summing all
+    * deltas reproduces [[learn]]'s tables exactly ([[mergeDeltas]]). */
+  case class LearnDelta(kind: String, a: String, b: String, n: Long, ts_us: Long)
+
+  /** STREAMING LEARNER — the reference's suggest learner is a daemon that
+    * consumes submitted events continuously (plugins/suggest/suggest.c
+    * learner_learn at :995-1022); this is the Structured-Streaming
+    * re-expression: `flatMapGroupsWithState` keyed by seq_id holds each
+    * session's tail (the last submit + later events, pruned to the 60 s
+    * horizon — anything older can never qualify for a future post, so
+    * state is bounded by the session's 60 s event rate) and emits
+    * item/pair DELTAS as events arrive. Deltas are mergeable monoid rows:
+    * any micro-batch partitioning of the same in-order event log folds to
+    * the identical learner tables as the batch [[learn]] (SuggestStreamSpec
+    * proves multi-batch ≡ batch; the `suggest_learn_stream` gate replays
+    * the same DuckDB oracle as `suggest_learn_pairs`).
+    *
+    * In-order contract: like the reference daemon, events of one sequence
+    * arrive in time order (cross-SEQUENCE order is free). Within a
+    * micro-batch the group is sorted by ts before the walk, so only
+    * cross-batch reordering within one seq violates the contract. */
+  def learnStream(events: DataFrame, minLearnDistanceUs: Long = 60000000L)
+      : org.apache.spark.sql.Dataset[LearnDelta] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("seq_id").cast("long").as("seq_id"),
+      col("ts_us").cast("long").as("ts_us"),
+      col("item").cast("string").as("item"),
+      col("submit").cast("boolean").as("submit")).as[LearnEvent]
+    ev.groupByKey(_.seq_id)
+      .flatMapGroupsWithState[LearnTail, LearnDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.item))
+          var tail = state.getOption.map(_.events.toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[LearnDelta]
+          evs.foreach { e =>
+            out += LearnDelta("item", e.item, "", 1L, e.ts_us)
+            if (e.submit) {
+              out += LearnDelta("item2", e.item, "", 1L, e.ts_us)
+              tail.foreach { case (pts, pitem, psub) =>
+                if (e.ts_us - pts < minLearnDistanceUs)
+                  out += LearnDelta(if (psub) "pair1" else "pair0",
+                    pitem, e.item, 1L, 0L)
+              }
+              e.item.split(" ").distinct.filter(_ != e.item)
+                .foreach(t => out += LearnDelta("pair2", t, e.item, 1L, 0L))
+              tail = Vector((e.ts_us, e.item, true))
+            } else {
+              tail = (tail :+ ((e.ts_us, e.item, false)))
+                .dropWhile { case (pts, _, _) =>
+                  e.ts_us - pts >= minLearnDistanceUs }
+            }
+          }
+          state.update(LearnTail(tail))
+          out.iterator
+      }
+  }
+
+  /** Fold a delta table (one micro-batch's output, or a whole run's) into
+    * the learner tables — the exact shapes [[learn]] returns. Deltas form
+    * a commutative monoid, so merging is order- and partitioning-
+    * independent. */
+  def mergeDeltas(deltas: DataFrame): (DataFrame, DataFrame) = {
+    val items = deltas.where(col("kind").isin("item", "item2"))
+      .groupBy(col("a").as("item"))
+      .agg(sum(when(col("kind") === "item", col("n")).otherwise(0L)).as("freq"),
+        sum(when(col("kind") === "item2", col("n")).otherwise(0L)).as("freq2"),
+        max(col("ts_us")).as("last_us"))
+    val pairs = deltas.where(col("kind").startsWith("pair"))
+      .groupBy(col("a").as("pre"), col("b").as("post"))
+      .agg(sum(when(col("kind") === "pair0", col("n")).otherwise(0L)).as("freq0"),
+        sum(when(col("kind") === "pair1", col("n")).otherwise(0L)).as("freq1"),
+        sum(when(col("kind") === "pair2", col("n")).otherwise(0L)).as("freq2"))
+    (items, pairs)
+  }
+
   /** completion: dictionary terms starting with `prefix` (df-ranked,
     * deterministic ties by term) */
   def complete(idx: GraftIndex, prefix: String, k: Int = 10): DataFrame =

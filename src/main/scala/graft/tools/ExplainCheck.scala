@@ -153,6 +153,15 @@ object ExplainCheck {
       p13.contains("In(list_id") && !p13.contains("vec:array") &&
         p13.contains("dgen"), p13)
 
+    // 14. indexed regexp: the mark-bracketed gram phrase plans the same
+    //     pruned postings scan (term IN over the literal's grams + the
+    //     begin mark) — no dictionary scan, no full-corpus pass before
+    //     the rlike confirm
+    val rxIdx = graft.api.Tables.documentsRegexpIndex(spark, dir)
+    val p14 = plan(rxIdx.searchRegexpGrams("\\Aspark").get)
+    check("regexp-grams anchored phrase pruned scan",
+      p14.contains("In(term") && p14.contains("￯"), p14)
+
     println("EXPLAIN-END")
     spark.stop()
     if (failures > 0) sys.exit(1)
