@@ -39,6 +39,7 @@ object Bench {
       graft.api.Tables.documentsIndex(spark, sfDir)
       graft.api.Tables.documentsSectionedIndex(spark, sfDir)
       graft.api.Tables.documentsStemmedIndex(spark, sfDir)
+      graft.api.Tables.documentsRegexpIndex(spark, sfDir)
       // build+mutate phase of the ft_after_update* gates lands here, so
       // their per-query numbers measure the queries over the mutated index
       graft.api.Tables.documentsMutatedIndex(spark, sfDir)

@@ -51,6 +51,31 @@ object Demo {
       graft.operators.Select.eval(index,
         graft.query.QueryParser.parse("spark +fulltext -crawl"), ScoreMode.Tf))
 
+    // indexed regexp: TokenRegexp grams index, mark-anchored literal
+    // phrase prune + full-regex confirm (r6)
+    {
+      import org.apache.spark.sql.functions.col
+      val rxDir = java.nio.file.Files.createTempDirectory("graft-demo-rx")
+        .toString + "/idx"
+      val rxIdx = IndexBuilder.build(spark, docs, "doc_id", "text", rxDir,
+        IndexConfig(tokenizer = "TokenRegexp"))
+      def rx(pattern: String): Long = {
+        val cands = rxIdx.searchRegexpGrams(pattern) match {
+          case Some(c) => docs.join(c.select(col("doc_id")), Seq("doc_id"))
+          case None => docs
+        }
+        cands.where(col("text").rlike(pattern)).count()
+      }
+      // anchor on a word the corpus actually starts docs with
+      val firstWord = docs.orderBy("doc_id").select("text").limit(1)
+        .collect()(0).getString(0).split(" ")(0)
+      val anchored = rx("\\A" + firstWord)
+      val classed = rx("sp[ae]rk")
+      val cands = rxIdx.searchRegexpGrams("\\A" + firstWord).get.count()
+      println(s"[demo] regexp grams: \\A$firstWord -> $anchored docs " +
+        s"(begin-mark pruned candidates: $cands), sp[ae]rk -> $classed docs")
+    }
+
     // delete + upsert round-trip on the live index (same ids, new text)
     val victim = index.searchTerms(Seq("spark")).select("doc_id")
       .orderBy("doc_id").limit(1).collect()(0).getLong(0)
