@@ -123,4 +123,29 @@ class MsgpackSpec extends AnyFunSuite {
     val df = spark.range(100).toDF("i")
     intercept[IllegalArgumentException](CommandFormat.bodyTree(df, 100, maxRows = 10))
   }
+
+  test("pack/unpack round-trips random trees (seeded fuzz)") {
+    val rnd = new scala.util.Random(20260818L)
+    def randScalar(): Any = rnd.nextInt(7) match {
+      case 0 => rnd.nextLong()
+      case 1 => rnd.nextInt(300) - 150L // exercise all fixint/int8/uint8 edges
+      case 2 => rnd.nextDouble()
+      case 3 => rnd.nextBoolean()
+      case 4 => null
+      case 5 => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      case 6 => "あ" * rnd.nextInt(20) // multibyte str lengths
+    }
+    def randTree(depth: Int): Any =
+      if (depth == 0) randScalar()
+      else rnd.nextInt(3) match {
+        case 0 => randScalar()
+        case 1 => Vector.fill(rnd.nextInt(20))(randTree(depth - 1))
+        case 2 => (0 until rnd.nextInt(8))
+          .map(i => s"k$i" -> randTree(depth - 1)).toMap
+      }
+    for (i <- 0 until 500) {
+      val t = randTree(3)
+      assert(Msgpack.unpack(Msgpack.pack(t)) == t, s"iter $i: $t")
+    }
+  }
 }
