@@ -660,6 +660,12 @@ final case class GraftIndex(spark: SparkSession, path: String,
   /** the dictionary side of a regexp search — exposed so plan checks can
     * assert the prefix pushdown on the exact scan searchRegexp runs */
   def regexpDictionary(pattern: String): DataFrame = {
+    // a TokenRegexp index's dictionary holds GRAMS + marks, not full
+    // terms — regexp-matching it is silently wrong; that index answers
+    // through searchRegexpGrams + a confirm pass on the source text
+    require(!meta.tokenizer.startsWith("TokenRegexp"),
+      "dictionary regexp on a TokenRegexp grams index — use " +
+        "searchRegexpGrams + a full-regex confirm on the source text")
     val pre = GraftIndex.regexpLiteralPrefix(pattern)
     val dict = if (pre.isEmpty) terms else terms.where($"term".startsWith(pre))
     dict.where($"term".rlike(pattern)).select($"term").distinct()

@@ -120,6 +120,10 @@ class TokenRegexpSpec extends AnyFunSuite {
         "merge\\z", "\\Ascanspark", "xyzzy")) {
       assert(matched(p) == naive(p), s"pattern $p")
     }
+    // the dictionary regexp path fails fast on a grams index (its
+    // dictionary holds bigrams + marks — matching it would be silently
+    // wrong, not merely slow)
+    intercept[IllegalArgumentException](idx.searchRegexp("qu.*y"))
     // anchored candidates actually prune: ￯-anchored phrase must not
     // return docs where the literal is mid-text
     val beginCands = idx.searchRegexpGrams("\\Aspark").get
