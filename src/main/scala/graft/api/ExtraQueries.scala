@@ -247,6 +247,39 @@ object ExtraQueries {
       .toDF("doc_id", "score")
   }
 
+  /** HTTP transport gate: the select_cmd page served over the WIRE — GET
+    * /d/select.msgpack against a loopback `GraftHttpServer` (the
+    * reference's `/d/<command>.<type>` URL shape), envelope decoded by
+    * the independent Msgpack unpacker; the gate emits the decoded rows,
+    * so the DuckDB oracle checks every value that crossed HTTP + msgpack.
+    * Full transport behavior (all output types, errors, POST load) lives
+    * in HttpApiSpec. */
+  def httpSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = Tables.documentsIndex(spark, dir)
+    val srv = new graft.server.GraftHttpServer(spark, Map("documents" -> idx)).start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/d/select.msgpack?table=documents" +
+          "&query=spark&sort_keys=" +
+          java.net.URLEncoder.encode("-_score, +_id", "UTF-8") +
+          "&offset=2&limit=5")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() == 200, s"http status ${resp.statusCode()}")
+      val env = Msgpack.unpack(resp.body()).asInstanceOf[Vector[Any]]
+      require(env(0).asInstanceOf[Vector[Any]].head == 0L, "nonzero return code")
+      val rs = env(1).asInstanceOf[Vector[Any]](0).asInstanceOf[Vector[Any]]
+      rs.drop(2)
+        .map { r =>
+          val v = r.asInstanceOf[Vector[Any]]
+          (v(0).asInstanceOf[Long], v(1).asInstanceOf[Long])
+        }
+        .toDF("doc_id", "score")
+    } finally srv.stop()
+  }
+
   /** QUERY_ALLOW_LEADING_NOT: `-spark` selects every record NOT matching
     * spark (all-records AND-NOT), score 0 — off by default (syntax error),
     * as in the reference. */
@@ -1216,6 +1249,7 @@ object ExtraQueries {
     "ft_query_or_phrase" -> queryOrPhrase,
     "select_cmd" -> selectCmd,
     "msgpack_cmd" -> msgpackCmd,
+    "http_select" -> httpSelect,
     "tokenize_cmd" -> tokenizeCmd,
     "tokenize_filtered" -> tokenizeFiltered,
     "scorer_expr" -> scorerExpr,
@@ -1263,6 +1297,7 @@ object ExtraQueries {
     "ft_query_or_phrase" -> queryOrPhraseSql,
     "select_cmd" -> selectCmdSql,
     "msgpack_cmd" -> selectCmdSql,
+    "http_select" -> selectCmdSql,
     "tokenize_cmd" -> tokenizeCmdSql,
     "tokenize_filtered" -> tokenizeFilteredSql,
     "scorer_expr" -> scorerExprSql,
