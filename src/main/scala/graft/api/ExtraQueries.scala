@@ -247,6 +247,23 @@ object ExtraQueries {
       .toDF("doc_id", "score")
   }
 
+  /** output_type=apache-arrow: the select_cmd result as a REAL Arrow IPC
+    * stream (api.ArrowFormat — the same public arrow-vector library the
+    * reference links, already on Spark's classpath) decoded back by the
+    * independent reader; the gate emits the DECODED rows plus the
+    * GROONGA:n_hits metadata consistency check, so the DuckDB oracle
+    * verifies every value that crossed the IPC bytes. */
+  def arrowCmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val res = selectCmd(spark, dir)
+    val bytes = ArrowFormat.arrow(res, nHits = res.count())
+    val (nHits, names, rows) = ArrowFormat.arrowRead(bytes)
+    require(names == Seq("doc_id", "score"), s"arrow column header: $names")
+    require(nHits == rows.length.toLong, "n_hits metadata mismatch")
+    rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      .toDF("doc_id", "score")
+  }
+
   /** HTTP transport gate: the select_cmd page served over the WIRE — GET
     * /d/select.msgpack against a loopback `GraftHttpServer` (the
     * reference's `/d/<command>.<type>` URL shape), envelope decoded by
@@ -1250,6 +1267,7 @@ object ExtraQueries {
     "select_cmd" -> selectCmd,
     "msgpack_cmd" -> msgpackCmd,
     "http_select" -> httpSelect,
+    "arrow_cmd" -> arrowCmd,
     "tokenize_cmd" -> tokenizeCmd,
     "tokenize_filtered" -> tokenizeFiltered,
     "scorer_expr" -> scorerExpr,
@@ -1298,6 +1316,7 @@ object ExtraQueries {
     "select_cmd" -> selectCmdSql,
     "msgpack_cmd" -> selectCmdSql,
     "http_select" -> selectCmdSql,
+    "arrow_cmd" -> selectCmdSql,
     "tokenize_cmd" -> tokenizeCmdSql,
     "tokenize_filtered" -> tokenizeFilteredSql,
     "scorer_expr" -> scorerExprSql,

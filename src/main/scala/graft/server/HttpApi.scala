@@ -96,6 +96,7 @@ final class GraftHttpServer(
   private def contentTypeOf(outputType: String): String = outputType match {
     case "xml" => "text/xml"
     case "msgpack" => "application/x-msgpack"
+    case "arrow" | "apache-arrow" => "application/x-apache-arrow-streaming"
     case _ => "application/json"
   }
 
@@ -156,6 +157,10 @@ final class GraftHttpServer(
           CommandFormat.msgpack(CommandFormat.bodyTree(df, nHits),
             drilldowns.map { case (dd, n) => CommandFormat.bodyTree(dd, n) },
             returnCode = 0, startSec = startSec, elapsedSec = elapsed)
+        case "arrow" | "apache-arrow" =>
+          // the reference streams the result set itself (header/drilldowns
+          // travel as separate metadata streams); main result set here
+          graft.api.ArrowFormat.arrow(df, nHits)
         case _ if version == 3 =>
           CommandFormat.envelopeV3(CommandFormat.bodyV3(df, nHits),
             startSec = startSec, elapsedSec = elapsed).getBytes(UTF_8)

@@ -66,6 +66,16 @@ class HttpApiSpec extends AnyFunSuite {
     assert(xml.contains("""<HIT NO="1">"""))
   }
 
+  test("apache-arrow select streams real IPC bytes with n_hits metadata") {
+    val r = get("/d/select.arrow?table=docs&query=spark&limit=10")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() ==
+      "application/x-apache-arrow-streaming")
+    val (nHits, names, rows) = graft.api.ArrowFormat.arrowRead(r.body())
+    assert(nHits == 3L && names == Seq("_id", "_score"))
+    assert(rows == Vector(Vector(4L, 3L), Vector(1L, 1L), Vector(2L, 1L)))
+  }
+
   test("drilldown rides the select as a second result set") {
     val body = new String(
       get("/d/select?table=docs&query=spark&drilldown=text").body(), "UTF-8")
