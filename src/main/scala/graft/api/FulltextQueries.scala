@@ -280,19 +280,28 @@ object FulltextQueries {
     val exact = (if (toks.isEmpty) idx.emptyResult
       else idx.searchTerms(toks, MatchMode.All, ScoreMode.Tf)).localCheckpoint()
     if (hits(exact)) return exact
+    // at the reference-default threshold 0, a failed rung is EMPTY (count
+    // <= 0), so OR-accumulating it is the identity: skip the union+groupBy
+    // job (and the rung's hit-count job when the rung added no terms).
+    // searchTerms output is one row per doc, so the skipped
+    // groupBy(doc_id).sum(score) could never merge rows anyway.
+    val rungIsEmpty = threshold == 0L
     val whole = graft.analyzer.Normalizer.normalize(raw).text
       .filterNot(Character.isWhitespace)
     val unsTerms =
       if (whole.isEmpty) Nil
       else (idx.expandPrefix(whole) ++ idx.expandSuffix(whole)).distinct
-    val uns = if (unsTerms.isEmpty) idx.emptyResult
-      else idx.searchTerms(unsTerms, MatchMode.Any, ScoreMode.Tf)
-    val afterUnsplit = orAccumulate(exact, uns).localCheckpoint()
-    if (hits(afterUnsplit)) return afterUnsplit
+    val afterUnsplit =
+      if (unsTerms.isEmpty) exact // no-op rung: nothing to accumulate
+      else {
+        val uns = idx.searchTerms(unsTerms, MatchMode.Any, ScoreMode.Tf)
+        (if (rungIsEmpty) uns else orAccumulate(exact, uns)).localCheckpoint()
+      }
+    if (unsTerms.nonEmpty && hits(afterUnsplit)) return afterUnsplit
     val pTerms = toks.flatMap(t => idx.expandPrefix(t) ++ idx.expandSuffix(t)).distinct
-    val part = if (pTerms.isEmpty) idx.emptyResult
-      else idx.searchTerms(pTerms, MatchMode.Any, ScoreMode.Tf)
-    orAccumulate(afterUnsplit, part)
+    if (pTerms.isEmpty) return afterUnsplit // no-op rung
+    val part = idx.searchTerms(pTerms, MatchMode.Any, ScoreMode.Tf)
+    if (rungIsEmpty) part else orAccumulate(afterUnsplit, part)
   }
 
   /** match escalation reaching the PARTIAL rung: exact AND finds nothing

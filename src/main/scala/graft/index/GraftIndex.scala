@@ -47,6 +47,11 @@ final case class GraftIndex(spark: SparkSession, path: String,
   private def tablePaths(table: String): Seq[String] =
     segDirs.map(s => if (s == ".") s"$path/$table" else s"$path/$s/$table")
 
+  /** true when the snapshot reads exactly one segment — consumers may then
+    * rely on a (term, doc) posting entry appearing at most once globally
+    * (sectioned payloads still repeat a doc per sid) */
+  def isSingleSegment: Boolean = segDirs.size == 1
+
   /** every directory this snapshot reads — existence-checked by
     * GraftIndex.atVersion so an expired snapshot fails at open time */
   private[index] def tableDirsForValidation: Seq[String] =
@@ -187,13 +192,7 @@ final case class GraftIndex(spark: SparkSession, path: String,
     val missing = qterms.distinct.filterNot(termStatCache.containsKey)
     if (missing.nonEmpty) {
       val fetched =
-        if (deletesDf.isEmpty)
-          terms.where($"term".isin(missing: _*))
-            .groupBy($"term")
-            .agg(sum($"df").as("df"), sum($"total_tf").as("total_tf"),
-              max($"max_tf").cast("int").as("max_tf"))
-            .as[TermStatRow]
-            .collect().map(t => t.term -> t).toMap
+        if (deletesDf.isEmpty) dictTermStats(missing)
         else exactTermStats(missing)
       missing.foreach(t => termStatCache.put(t, fetched.get(t)))
     }
@@ -201,29 +200,84 @@ final case class GraftIndex(spark: SparkSession, path: String,
       Option(termStatCache.get(t)).flatten.map(t -> _)).toMap
   }
 
+  /** dictionary stats folded on the DRIVER: the term-IN-pruned scan returns
+    * at most |terms| x |segments| dictionary rows (a handful), so collecting
+    * them and summing per term replaces the groupBy exchange — every cold
+    * term resolve costs one single-stage job instead of a two-stage shuffle
+    * job. Long/int arithmetic only: bit-identical to the aggregate it
+    * replaces. */
+  private def dictTermStats(missing: Seq[String]): Map[String, TermStatRow] = {
+    val rows = terms.where($"term".isin(missing: _*))
+      .select($"term", $"df", $"total_tf", $"max_tf")
+      .as[(String, Long, Long, Int)]
+      .collect()
+    rows.groupBy(_._1).map { case (t, rs) =>
+      t -> TermStatRow(t, rs.iterator.map(_._2).sum,
+        rs.iterator.map(_._3).sum, rs.iterator.map(_._4).max)
+    }
+  }
+
   /** exact per-term stats under tombstones: decode the terms' postings,
     * drop generations a tombstone hides, count distinct live docs (sectioned
     * payloads repeat a doc per sid — distinct, not count). max_tf stays the
-    * dictionary upper bound semantics: max over live entries. */
+    * dictionary upper bound semantics: max over live entries.
+    *
+    * SMALL-QUERY fast path (mirror of runKernel's): the dictionary df sums
+    * — known from a driver-side pruned lookup BEFORE any payload moves —
+    * upper-bound the live posting count, so when they fit the small-query
+    * cap the pruned payload blocks are collected (bounded, a few MB) and
+    * decoded on the driver against the already-resident tombstone arrays:
+    * one scan-only stage, no exchange, no second job. Past the cap the
+    * distributed decode+aggregate runs as before. */
   private def exactTermStats(missing: Seq[String]): Map[String, TermStatRow] = {
-    val bc = tombBc
-    postings.where($"term".isin(missing: _*))
-      .select($"term", $"seg_ord", $"payload")
-      .as[(String, Int, Array[Byte])]
-      .flatMap { case (t, seg, payload) =>
-        val (td, tg) = bc.value
-        val d = graft.codec.PostingCodec.decode(payload)
-        (0 until d.count).iterator.filter { i =>
-          val j = java.util.Arrays.binarySearch(td, d.docIds(i))
-          j < 0 || seg >= tg(j)
-        }.map(i => (t, d.docIds(i), d.tfs(i)))
-      }.toDF("term", "doc_id", "tf")
-      .groupBy($"term")
-      .agg(countDistinct($"doc_id").as("df"),
-        sum($"tf").cast("long").as("total_tf"),
-        max($"tf").cast("int").as("max_tf"))
-      .as[TermStatRow]
-      .collect().map(t => t.term -> t).toMap
+    val dict = dictTermStats(missing)
+    val bound = dict.valuesIterator.map(_.df).sum
+    if (smallQueryCap > 0 && bound <= smallQueryCap) {
+      val (td, tg) = tombstones
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, (java.util.HashSet[java.lang.Long], Array[Long])]
+      postings.where($"term".isin(missing: _*))
+        .select($"term", $"seg_ord", $"payload")
+        .as[(String, Int, Array[Byte])]
+        .collect() // one stage, term-IN-pruned, ≤ cap postings
+        .foreach { case (t, seg, payload) =>
+          val (docSet, sums) = acc.getOrElseUpdate(t,
+            (new java.util.HashSet[java.lang.Long](), Array(0L, 0L)))
+          val d = graft.codec.PostingCodec.decode(payload)
+          var i = 0
+          while (i < d.count) {
+            val j = java.util.Arrays.binarySearch(td, d.docIds(i))
+            if (j < 0 || seg >= tg(j)) {
+              docSet.add(d.docIds(i))
+              sums(0) += d.tfs(i)                       // total_tf
+              if (d.tfs(i) > sums(1)) sums(1) = d.tfs(i) // max_tf
+            }
+            i += 1
+          }
+        }
+      acc.iterator.collect { case (t, (docSet, sums)) if !docSet.isEmpty =>
+        t -> TermStatRow(t, docSet.size.toLong, sums(0), sums(1).toInt)
+      }.toMap
+    } else {
+      val bc = tombBc
+      postings.where($"term".isin(missing: _*))
+        .select($"term", $"seg_ord", $"payload")
+        .as[(String, Int, Array[Byte])]
+        .flatMap { case (t, seg, payload) =>
+          val (td, tg) = bc.value
+          val d = graft.codec.PostingCodec.decode(payload)
+          (0 until d.count).iterator.filter { i =>
+            val j = java.util.Arrays.binarySearch(td, d.docIds(i))
+            j < 0 || seg >= tg(j)
+          }.map(i => (t, d.docIds(i), d.tfs(i)))
+        }.toDF("term", "doc_id", "tf")
+        .groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"),
+          sum($"tf").cast("long").as("total_tf"),
+          max($"tf").cast("int").as("max_tf"))
+        .as[TermStatRow]
+        .collect().map(t => t.term -> t).toMap
+    }
   }
 
   /** Position-dependent match modes need an index built withPositions —
@@ -924,6 +978,25 @@ object GraftIndex {
     * candidates on the run are a superset of the regexp's matches and the
     * caller's full-regex confirm is exact. */
   def regexpRequiredLiteral(core: String): (String, Boolean, Boolean) = {
+    // a TOP-LEVEL alternation anywhere means no literal is required by
+    // every branch (pattern 'spark|scan': docs matching only 'scan' must
+    // not be pruned away) — pre-scan at paren depth 0, tracking escapes,
+    // and give up so callers fall back to the full-regex confirm over all
+    // docs. Branch-intersection extraction (Cox 2012) can refine later.
+    {
+      var d = 0
+      var j = 0
+      while (j < core.length) {
+        core.charAt(j) match {
+          case '\\' => j += 1 // skip escaped char (trailing \ just ends)
+          case '(' => d += 1
+          case ')' => if (d > 0) d -= 1
+          case '|' if d == 0 => return ("", false, false)
+          case _ =>
+        }
+        j += 1
+      }
+    }
     val runs = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     val cur = new StringBuilder
     var curStart = 0
@@ -956,7 +1029,11 @@ object GraftIndex {
             j += 1
           }
           i = if (j >= core.length) core.length else j + 1
-        case '\\' if i + 1 < core.length =>
+        case '\\' if i + 1 >= core.length =>
+          // trailing lone backslash: malformed pattern — break the run and
+          // stop instead of treating '\' as a required literal char
+          stopped = true; flush(i)
+        case '\\' =>
           val e = core.charAt(i + 1)
           if (Character.isLetterOrDigit(e)) { flush(i); i += 2 } // \d \w \b … class/boundary
           else { if (cur.isEmpty) curStart = i; cur.append(e); i += 2 }

@@ -37,6 +37,29 @@ object AnnIndex {
 
   final case class Centroid(list_id: Int, centroid: Array[Float])
 
+  /** JVM cache of collected centroid sets keyed by the directory's content
+    * fingerprint (file names + lengths + mtimes from ONE listing): repeated
+    * searches against an unchanged index skip the per-call collect job; any
+    * rewrite (build/rebalance writes fresh files) changes the fingerprint
+    * and misses. Bounded: cleared past 64 entries (each is nlist x dim
+    * floats — model-sized, never data-sized). */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Centroid]]()
+
+  private[ml] def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val fs = graft.index.SegmentCatalog.fileSystem(spark, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(dir + "|", ";", "")
+  }
+
+  private[ml] def readCentroids(spark: SparkSession, dir: String): Array[Centroid] = {
+    import spark.implicits._
+    if (centCache.size > 64) centCache.clear()
+    centCache.computeIfAbsent(dirFingerprint(spark, dir),
+      _ => spark.read.parquet(dir).as[Centroid].collect())
+  }
+
   private def l2sq(a: Array[Float], b: Array[Float]): Double =
     Similarity.l2sqLocal(a, b)
 
@@ -85,24 +108,48 @@ object AnnIndex {
       .select(col(vecCol)).as[Array[Float]].collect()
       .zipWithIndex.map { case (c, i) => Centroid(i, c) }
     val data = vecs.select(col(vecCol)).as[Array[Float]]
+    val nSeeds = cents.length
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val sums = data
-        .map { v =>
-          val lid = assign(v, bc.value)
-          (lid, (v.map(_.toDouble), 1L))
-        }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .reduceGroups { (a, b) =>
-          val s = a._1.clone()
+      // partition-local (sum, count) accumulators merged on the driver:
+      // one scan-only stage per Lloyd round instead of a groupByKey
+      // shuffle — the per-round reduction state is nlist x dim doubles,
+      // bounded by the model size, never by the corpus (guide §2.3
+      // "aggregate before you shuffle", taken to its limit: nothing
+      // shuffles at all). Double-sum merge order changes with partitioning
+      // — within the documented float-rounding tolerance (see above).
+      val parts = data.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).centroid.length
+        val sums = Array.fill(nSeeds)(new Array[Double](dim))
+        val counts = new Array[Long](nSeeds)
+        it.foreach { v =>
+          val lid = assign(v, cs)
+          val s = sums(lid)
           var i = 0
-          while (i < s.length) { s(i) += b._1(i); i += 1 }
-          (s, a._2 + b._2)
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          counts(lid) += 1L
         }
-        .map { case (lid, (s, n)) => (lid, s.map(x => (x / n).toFloat)) }
-        .collect().toMap
-      cents = cents.map(c => Centroid(c.list_id, sums.getOrElse(c.list_id, c.centroid)))
+        Iterator.single((sums, counts))
+      }.collect()
+      val total = Array.fill(nSeeds)(
+        new Array[Double](if (cents.isEmpty) 0 else cents(0).centroid.length))
+      val n = new Array[Long](nSeeds)
+      parts.foreach { case (sums, counts) =>
+        var l = 0
+        while (l < nSeeds) {
+          val s = total(l); val p = sums(l)
+          var i = 0
+          while (i < s.length) { s(i) += p(i); i += 1 }
+          n(l) += counts(l)
+          l += 1
+        }
+      }
+      cents = cents.map { c =>
+        if (n(c.list_id) > 0)
+          Centroid(c.list_id, total(c.list_id).map(x => (x / n(c.list_id)).toFloat))
+        else c
+      }
       bc.destroy()
     }
     cents.sortBy(_.list_id).map(_.centroid).toSeq
@@ -138,11 +185,16 @@ object AnnIndex {
       nlist: Int, filesPerList: Int, gen: Long, mode: String): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // HASH repartition, not range: repartitionByRange samples its child to
+    // pick bounds, which runs the assignment map TWICE and costs an extra
+    // job; hash needs no sample. Files may interleave list_ids, but rows
+    // stay (list_id, vec_id)-sorted within each file, so the
+    // `list_id IN (...)` row-group pruning is unchanged (guide §2.4).
     vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (assign(v, bc.value), id, v, gen) }
       .toDF("list_id", "vec_id", "vec", "gen")
-      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .repartition(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode(mode).parquet(listsPath)
   }
@@ -161,7 +213,7 @@ object AnnIndex {
     val spark = vecs.sparkSession
     import spark.implicits._
     val st = VecStore.read(spark, path)
-    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
+    val cents = readCentroids(spark, s"$path/${st.cents}")
     require(cents.nonEmpty, s"no centroids at $path — build() first")
     val bc = spark.sparkContext.broadcast(cents)
     val g = st.gen + 1
@@ -198,7 +250,7 @@ object AnnIndex {
       .withColumn("gen", org.apache.spark.sql.functions.lit(0L))
       .select(col("list_id"), col("vec_id"), col("vec"), col("gen"))
     survivors
-      .repartitionByRange(col("list_id"))
+      .repartition(col("list_id")) // hash: no range-sampling pass (see writeLists)
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode("overwrite").parquet(s"$path/$newLists")
     VecStore.commit(spark, path,
@@ -218,7 +270,7 @@ object AnnIndex {
   def listStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val st = VecStore.read(spark, path)
-    val nlist = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect().length
+    val nlist = readCentroids(spark, s"$path/${st.cents}").length
     val counts = aliveLists(spark, path, st)
       .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
     spark.range(0, nlist).select(col("id").cast("int").as("list_id"))
@@ -244,7 +296,7 @@ object AnnIndex {
       filesPerList: Int = 1): Unit = {
     import spark.implicits._
     val st = VecStore.read(spark, path)
-    val nlist = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect().length
+    val nlist = readCentroids(spark, s"$path/${st.cents}").length
     val v = st.gen + 1
     val alive = aliveLists(spark, path, st)
       .select(col("vec_id"), col("vec")).persist()
@@ -267,10 +319,14 @@ object AnnIndex {
 
   /** centroids ranked by distance to the query → the nprobe list ids */
   def probeLists(spark: SparkSession, path: String, query: Array[Float],
-      nprobe: Int): Seq[Int] = {
-    import spark.implicits._
-    val st = VecStore.read(spark, path)
-    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
+      nprobe: Int): Seq[Int] =
+    probeLists(spark, path, VecStore.read(spark, path), query, nprobe)
+
+  /** state-plumbed variant: callers that already read the VecStore state
+    * (search paths) skip the duplicate state read */
+  private[ml] def probeLists(spark: SparkSession, path: String,
+      st: VecStore.State, query: Array[Float], nprobe: Int): Seq[Int] = {
+    val cents = readCentroids(spark, s"$path/${st.cents}")
     cents.map(c => (l2sq(query, c.centroid), c.list_id))
       .sortBy(identity).take(nprobe).map(_._2).toSeq
   }
@@ -287,7 +343,7 @@ object AnnIndex {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val st = VecStore.read(spark, path)
-    val cents = spark.read.parquet(s"$path/${st.cents}").as[Centroid].collect()
+    val cents = readCentroids(spark, s"$path/${st.cents}")
     val bc = spark.sparkContext.broadcast(cents)
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
@@ -315,7 +371,7 @@ object AnnIndex {
   def search(spark: SparkSession, path: String, query: Array[Float],
       k: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
     val st = VecStore.read(spark, path)
-    val lists = probeLists(spark, path, query, nprobe)
+    val lists = probeLists(spark, path, st, query, nprobe)
     val q = typedLit(query.toSeq)
     val base = aliveLists(spark, path, st)
       .where(col("list_id").isin(lists: _*))

@@ -39,6 +39,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
+  /** JVM cache of collected codebooks, fingerprint-keyed like
+    * [[AnnIndex.readCentroids]] (one dir listing instead of a collect job
+    * per search; a rebuilt codebook dir changes the fingerprint) */
+  private val bookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[PqIndex.Codebook]]()
+
+  private def readBooks(spark: SparkSession, dir: String): Array[PqIndex.Codebook] = {
+    import spark.implicits._
+    if (bookCache.size > 64) bookCache.clear()
+    bookCache.computeIfAbsent(AnnIndex.dirFingerprint(spark, dir),
+      _ => spark.read.parquet(dir).as[PqIndex.Codebook].collect())
+  }
+
   /** Build at `path`. `trainSample` lowest-id rows train the PQ codebooks;
     * assignment + coding is ONE distributed pass with centroids and
     * codebooks broadcast. */
@@ -52,16 +65,19 @@ object IvfPq {
     val data = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("vec")).as[(Long, Array[Float])]
 
+    // ONE TakeOrdered collect serves both the nlist centroid seeds (raw
+    // prefix) and the codebook training sample (normalized) — previously
+    // two separate ordered-limit jobs over the same data
+    val head = data.orderBy(col("vec_id")).limit(math.max(nlist, trainSample))
+      .map(_._2).collect()
     val cents: Array[AnnIndex.Centroid] = centroids match {
       case Some(cs) => cs.zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }.toArray
       case None =>
-        data.orderBy(col("vec_id")).limit(nlist).map(_._2).collect()
-          .zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }
+        head.take(nlist).zipWithIndex.map { case (c, i) => AnnIndex.Centroid(i, c) }
     }
     cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/centroids")
 
-    val sample = data.orderBy(col("vec_id")).limit(trainSample)
-      .map { case (_, v) => PqIndex.normalize(v) }.collect()
+    val sample = head.take(trainSample).map(PqIndex.normalize)
     require(sample.nonEmpty, "IVF+PQ build needs a non-empty corpus")
     val dim = sample(0).length
     val sub = dim / m
@@ -74,13 +90,13 @@ object IvfPq {
       (AnnIndex.assignList(v, bcCents.value), id,
         PqIndex.encode(v, bcBooks.value, m, sub), 0L)
     }.toDF("list_id", "vec_id", "code", "gen")
-    coded
-      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+    coded // hash repartition: no range-sampling pass re-running the encode map
+      .repartition(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode("overwrite").parquet(s"$path/lists")
 
     data.toDF("vec_id", "vec").withColumn("gen", lit(0L))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .repartition(col("vec_id")).sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vecs")
     VecStore.commit(spark, path, VecStore.Default)
 
@@ -104,8 +120,8 @@ object IvfPq {
     import spark.implicits._
     val st = VecStore.read(spark, path)
     val (_, m, _, nlist) = readMeta(spark, path)
-    val cents = spark.read.parquet(s"$path/${st.cents}").as[AnnIndex.Centroid].collect()
-    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val cents = AnnIndex.readCentroids(spark, s"$path/${st.cents}")
+    val books = readBooks(spark, s"$path/codebooks")
     require(cents.nonEmpty && books.nonEmpty, s"no model at $path — build() first")
     val dim = cents(0).centroid.length
     val sub = dim / m
@@ -120,13 +136,13 @@ object IvfPq {
     // silently drop those candidates instead of erroring); the gen-counter
     // state commit lands only after BOTH writes succeed
     data.toDF("vec_id", "vec").withColumn("gen", lit(g))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .repartition(col("vec_id")).sortWithinPartitions(col("vec_id"))
       .write.mode("append").parquet(s"$path/${st.vecs}")
     data.map { case (id, v) =>
         (AnnIndex.assignList(v, bcCents.value), id,
           PqIndex.encode(v, bcBooks.value, m, sub), g)
       }.toDF("list_id", "vec_id", "code", "gen")
-      .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+      .repartition(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode("append").parquet(s"$path/${st.lists}")
     VecStore.commit(spark, path, st.copy(gen = g))
@@ -158,13 +174,13 @@ object IvfPq {
     VecStore.alive(spark, path, st,
         VecStore.withGen(spark.read.parquet(s"$path/${st.lists}")))
       .select(col("list_id"), col("vec_id"), col("code"), zero.as("gen"))
-      .repartitionByRange(col("list_id"))
+      .repartition(col("list_id")) // hash: no range-sampling pass
       .sortWithinPartitions("list_id", "vec_id")
       .write.mode("overwrite").parquet(s"$path/lists-c$v")
     VecStore.alive(spark, path, st,
         VecStore.withGen(spark.read.parquet(s"$path/${st.vecs}")))
       .select(col("vec_id"), col("vec"), zero.as("gen"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .repartition(col("vec_id")).sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vecs-c$v")
     VecStore.commit(spark, path, st.copy(gen = 0L,
       lists = s"lists-c$v", vecs = s"vecs-c$v", deletes = s"deletes-c$v"))
@@ -185,7 +201,7 @@ object IvfPq {
     val st = VecStore.read(spark, path)
     val (dim, m, _, nlist) = readMeta(spark, path)
     val sub = dim / m
-    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val books = readBooks(spark, s"$path/codebooks")
     val alive = aliveVecs(spark, path, st).persist()
     try {
       val v = st.gen + 1
@@ -196,7 +212,7 @@ object IvfPq {
         (s"centroids-r$v", s"lists-r$v", s"vecs-r$v")
       cents.toSeq.toDS().write.mode("overwrite").parquet(s"$path/$newCents")
       alive.withColumn("gen", lit(0L))
-        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .repartition(col("vec_id")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(s"$path/$newVecs")
       val bcC = spark.sparkContext.broadcast(cents)
       val bcB = spark.sparkContext.broadcast(PqIndex.groupBooks(books))
@@ -204,7 +220,7 @@ object IvfPq {
           (AnnIndex.assignList(vec, bcC.value), id,
             PqIndex.encode(vec, bcB.value, m, sub), 0L)
         }.toDF("list_id", "vec_id", "code", "gen")
-        .repartitionByRange(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
+        .repartition(math.max(1, nlist / math.max(1, filesPerList)), col("list_id"))
         .sortWithinPartitions("list_id", "vec_id")
         .write.mode("overwrite").parquet(s"$path/$newLists")
       VecStore.commit(spark, path,
@@ -235,13 +251,17 @@ object IvfPq {
     * scan's ReadSchema carries no float column — `lists` stores none.
     * Exposed for plan asserts (ExplainCheck rule 8). */
   def candidates(spark: SparkSession, path: String, query: Array[Float],
-      nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+      nprobe: Int, excludeId: Option[Long] = None): DataFrame =
+    candidates(spark, path, VecStore.read(spark, path), query, nprobe, excludeId)
+
+  /** state-plumbed variant: [[search]] passes its already-read state so a
+    * search costs one state read, not three */
+  private def candidates(spark: SparkSession, path: String, st: VecStore.State,
+      query: Array[Float], nprobe: Int, excludeId: Option[Long]): DataFrame = {
     val (dim, m, kCent, _) = readMeta(spark, path)
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
-    import spark.implicits._
-    val st = VecStore.read(spark, path)
-    val probed = AnnIndex.probeLists(spark, path, query, nprobe)
-    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val probed = AnnIndex.probeLists(spark, path, st, query, nprobe)
+    val books = readBooks(spark, s"$path/codebooks")
     val lut = PqIndex.lutFor(books, query, dim, m, kCent)
     // tombstone filter BEFORE the projection: costs one narrow gen column
     // when deletes exist, and is skipped entirely (plan-identical) when not
@@ -272,8 +292,8 @@ object IvfPq {
     val (dim, m, kCent, _) = readMeta(spark, path)
     val sub = dim / m
     val st = VecStore.read(spark, path)
-    val cents = spark.read.parquet(s"$path/${st.cents}").as[AnnIndex.Centroid].collect()
-    val books = spark.read.parquet(s"$path/codebooks").as[PqIndex.Codebook].collect()
+    val cents = AnnIndex.readCentroids(spark, s"$path/${st.cents}")
+    val books = readBooks(spark, s"$path/codebooks")
     // centroid(s, c) at index s*kCent + c, 1-based for element_at
     val bookLit = typedLit(
       books.sortBy(b => (b.sub, b.cid)).map(_.centroid.toSeq).toSeq)
@@ -327,7 +347,7 @@ object IvfPq {
       k: Int, nprobe: Int, rerank: Int,
       excludeId: Option[Long] = None): DataFrame = {
     val st = VecStore.read(spark, path)
-    val topIds = candidates(spark, path, query, nprobe, excludeId)
+    val topIds = candidates(spark, path, st, query, nprobe, excludeId)
       .orderBy(desc("adc"), asc("vec_id")).limit(rerank)
       .select(col("vec_id"))
     // fetch-back over SURVIVING vecs: candidates are already tombstone-

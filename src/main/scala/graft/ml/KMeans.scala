@@ -35,41 +35,58 @@ object KMeans {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
-  /** assign each vector to the nearest centroid (ties -> lowest cid) */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("dist", sqDist(col("q"), col("cvec")))
-      .groupBy(col("vec_id"), col("q"))
-      .agg(min(struct(col("dist"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("q"),
-        col("best.cid").as("cluster"), col("best.dist").as("dist"))
+  /** assignment as a PURE PROJECTION against a driver-resident centroid
+    * literal (centroids are O(k x dims) int64 — bounded, never data-sized):
+    * array_min over per-centroid (dist, cid) structs replicates the
+    * min(struct(dist, cid)) tie rule (lowest cid on equal dist) with the
+    * same exact int64 arithmetic. Compared to the previous
+    * crossJoin(broadcast) + groupBy(vec_id) shape this removes ONE
+    * corpus-wide exchange per iteration — assignment is now map-side only
+    * (guide §2.4), which is also the 100-TB shape: the corpus is scanned,
+    * never shuffled, per Lloyd round. */
+  private def assignCols(cents: Seq[(Int, Seq[Long])]): (Column, Column) = {
+    val lit0 = typedLit(cents)
+    val best = array_min(transform(lit0, c =>
+      struct(sqDist(col("q"), c.getField("_2")).as("dist"),
+        c.getField("_1").as("cid"))))
+    (best.getField("cid"), best.getField("dist"))
+  }
 
-  /** floor-mean centroid update: new coordinate = floor(sum / count) —
-    * exact because the int64 sum is < 2^53 so the double division is exact
-    * before floor. */
-  private def update(assigned: DataFrame): DataFrame =
-    assigned
+  /** one Lloyd round: assign (projection) + floor-mean update, collected to
+    * the driver as the next round's literal. floor(sum / count) is exact
+    * because the int64 sum is < 2^53 so the double division is exact before
+    * floor; the per-(cid, d) aggregate has map-side combine, so the only
+    * exchange carries k x dims rows. */
+  private def updateDriver(vecs: DataFrame, cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
+    val (cl, _) = assignCols(cents)
+    vecs.withColumn("cluster", cl)
       .select(col("cluster").as("cid"), posexplode(col("q")).as(Seq("d", "v")))
       .groupBy(col("cid"), col("d"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s.getField("m")).as("cvec"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
+      .toSeq.sortBy(_._1)
+  }
 
   /** Full clustering: `iters` Lloyd iterations then a final assignment.
     * Output: (vec_id, cluster, dist) with dist the exact lattice squared
     * distance to the final centroid. */
   def cluster(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    import emb.sparkSession.implicits._
     val vecs = emb.select(col(idCol).as("vec_id"),
       quantize(col(vecCol), scale).as("q"))
-    val byId = Window.orderBy("vec_id")
-    var centroids = vecs.orderBy("vec_id").limit(k)
-      .select((row_number().over(byId) - 1).as("cid"), col("q").as("cvec"))
-      .localCheckpoint() // k rows; cut lineage before the iteration loop
+    // k lowest-id seeds, driver-side (k x dims longs — bounded)
+    var cents: Seq[(Int, Seq[Long])] = vecs.orderBy("vec_id").limit(k)
+      .select(col("q")).as[Seq[Long]].collect()
+      .zipWithIndex.map { case (q, i) => (i, q) }.toSeq
     for (_ <- 0 until iters)
-      centroids = update(assign(vecs, centroids)).localCheckpoint()
-    assign(vecs, centroids).select(col("vec_id"), col("cluster"), col("dist"))
+      cents = updateDriver(vecs, cents)
+    val (cl, dist) = assignCols(cents)
+    vecs.select(col("vec_id"), cl.as("cluster"), dist.as("dist"))
   }
 
   /** The same algorithm as a DuckDB SQL string (k, iters, scale baked in)

@@ -181,7 +181,11 @@ object PqIndex {
     val bc = spark.sparkContext.broadcast(groupBooks(books))
     data.map { case (id, v) => (id, v, encode(v, bc.value, m, sub)) }
       .toDF("vec_id", "vec", "code")
-      .repartitionByRange(col("vec_id")).sortWithinPartitions(col("vec_id"))
+      // hash repartition: repartitionByRange would sample the child, which
+      // runs the encode map twice and costs an extra job; rows stay
+      // vec_id-sorted within each file so IN-filter row-group pruning on
+      // the fetch-back path is unchanged
+      .repartition(col("vec_id")).sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/codes")
     val fs = graft.index.SegmentCatalog.fileSystem(spark, path)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

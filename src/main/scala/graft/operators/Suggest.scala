@@ -253,20 +253,54 @@ object Suggest {
       col("max_doc") >= ids.head && col("min_doc") <= ids.last
     val idsBc = idx.spark.sparkContext.broadcast(ids)
     val rangesBc = idx.spark.sparkContext.broadcast(byBucket)
-    val co = idx.postings.where(prune).as[graft.index.PostingBlockRow]
-      .flatMap { b =>
-        val (lo, hi) = rangesBc.value(b.bucket)
-        if (b.max_doc < lo || b.min_doc > hi) Iterator.empty
-        else {
+    if (idx.meta.sections.isEmpty && idx.isSingleSegment) {
+      // FAST PATH: on an unsectioned single-segment snapshot each
+      // (term, doc) posting entry exists at most once globally, so
+      // countDistinct(doc) == count(entries) and the count can be
+      // PRE-AGGREGATED per partition inside the decode pass (guide §2.3
+      // "aggregate before you shuffle"): the exchange carries one
+      // (term, n) row per distinct term per partition instead of one row
+      // per co-occurrence — on a 10k-doc match that is orders of
+      // magnitude fewer shuffled bytes, and bit-identical output.
+      val co = idx.postings.where(prune).as[graft.index.PostingBlockRow]
+        .mapPartitions { blocks =>
+          val counts = new java.util.HashMap[String, Long]()
           val set = idsBc.value
-          val d = graft.codec.PostingCodec.decode(b.payload)
-          (0 until d.count).iterator
-            .filter(i => java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0)
-            .map(i => (b.term, d.docIds(i)))
-        }
-      }.toDF("co_term", "doc_id")
-    co.where(col("co_term") =!= term)
-      .groupBy(col("co_term")).agg(countDistinct(col("doc_id")).as("n_docs"))
-      .orderBy(desc("n_docs"), asc("co_term")).limit(k)
+          val ranges = rangesBc.value
+          blocks.foreach { b =>
+            val (lo, hi) = ranges(b.bucket)
+            if (!(b.max_doc < lo || b.min_doc > hi)) {
+              val d = graft.codec.PostingCodec.decode(b.payload)
+              var i = 0; var n = 0L
+              while (i < d.count) {
+                if (java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0) n += 1
+                i += 1
+              }
+              if (n > 0) counts.merge(b.term, n, (a, bn) => a + bn)
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue()))
+        }.toDF("co_term", "n")
+      co.where(col("co_term") =!= term)
+        .groupBy(col("co_term")).agg(sum(col("n")).as("n_docs"))
+        .orderBy(desc("n_docs"), asc("co_term")).limit(k)
+    } else {
+      val co = idx.postings.where(prune).as[graft.index.PostingBlockRow]
+        .flatMap { b =>
+          val (lo, hi) = rangesBc.value(b.bucket)
+          if (b.max_doc < lo || b.min_doc > hi) Iterator.empty
+          else {
+            val set = idsBc.value
+            val d = graft.codec.PostingCodec.decode(b.payload)
+            (0 until d.count).iterator
+              .filter(i => java.util.Arrays.binarySearch(set, d.docIds(i)) >= 0)
+              .map(i => (b.term, d.docIds(i)))
+          }
+        }.toDF("co_term", "doc_id")
+      co.where(col("co_term") =!= term)
+        .groupBy(col("co_term")).agg(countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n_docs"), asc("co_term")).limit(k)
+    }
   }
 }

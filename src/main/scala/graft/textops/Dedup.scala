@@ -20,6 +20,15 @@ import graft.functions.GraftFunctions._
 object Dedup {
   final val P = graft.functions.GraftFunctions.HashMod
 
+  /** eager materialization point for a finished (tiny) pair set, so the
+    * upstream persisted inputs can be released. Plan-dump tooling sets
+    * -Dgraft.plan.nocheckpoint=1 to keep the plan lazy so explain shows
+    * the full pipeline instead of an RDD scan; nothing in the query or
+    * bench path sets it. */
+  private def cut(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.plan.nocheckpoint").contains("1")) df
+    else df.localCheckpoint()
+
   /** exact dedup: group by full text, keep the smallest id.
     * Output: (keep_id, n_dups) one row per distinct text. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -155,9 +164,14 @@ object Dedup {
     // shingle set feeds 4 plan branches (df cap, both join sides, sizes):
     // persist so the self-join doesn't recompute the lineage per branch
     val sh = hashedShingles(docs, idCol, textCol, n).persist()
-    val common = sh.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
-      .where(col("sdf") <= maxShingleDf).select("h")
-    val filtered = sh.join(common, Seq("h"))
+    // df cap as a WINDOW count over the h partitioning instead of a
+    // groupBy + join-back: one exchange on h (which the h-keyed self-join
+    // below reuses) in place of two, same surviving row set (guide §2.4)
+    val filtered = sh
+      .withColumn("sdf", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("sdf") <= maxShingleDf)
+      .select(col("id"), col("h"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val a = filtered.select(col("id").as("doc_a"), col("h"))
     val b = filtered.select(col("id").as("doc_b"), col("h"))
@@ -170,19 +184,24 @@ object Dedup {
       .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      // pair set is tiny; materialize so the shingle cache can be released
-      .localCheckpoint()
+    // pair set is tiny; materialize so the shingle cache can be released
+    val out = cut(result)
     sh.unpersist()
-    result
+    out
   }
 
   /** minhash aggregation over a hashed-shingle DF (id, h):
-    * h_i(x) = ((2i+1)*H + 12345i+7) mod P. */
-  private def minhashAgg(hashed: DataFrame, numHashes: Int): DataFrame = {
+    * h_i(x) = ((2i+1)*H + 12345i+7) mod P. `withSize` additionally emits
+    * the per-doc distinct-shingle count as `nsh` IN THE SAME groupBy —
+    * callers that need both (LSH verification) save a second corpus-wide
+    * aggregate over the shingle table (guide §2.4). */
+  private def minhashAgg(hashed: DataFrame, numHashes: Int,
+      withSize: Boolean = false): DataFrame = {
     val mins: Seq[Column] = (0 until numHashes).map { i =>
       min((lit(2L * i + 1) * col("h") + lit(12345L * i + 7)) % lit(P)).as(s"mh$i")
     }
-    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val aggs = if (withSize) mins :+ count(lit(1)).as("nsh") else mins
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** minhash signatures: (id, mh0..mh{numHashes-1}), from shingle base hash
@@ -207,24 +226,32 @@ object Dedup {
       maxBandDf: Int = 256): DataFrame = {
     val numHashes = bands * rows
     val sh = hashedShingles(docs, idCol, textCol, n).persist()
-    val mh = minhashAgg(sh, numHashes)
+    // ONE groupBy(id) yields the signatures AND the per-doc shingle count
+    // the verification step needs — the separate sizes aggregate over the
+    // (much larger) shingle table is gone (guide §2.4)
+    val mh = minhashAgg(sh, numHashes, withSize = true).persist()
     val bandCols = (0 until bands).map { b =>
       val key = (0 until rows).map(r => col(s"mh${b * rows + r}"))
         .reduceLeft((a, c) => a * lit(31L) + c) // values < P=1e9+7: fits a long
       struct(lit(b).as("band"), key.as("key"))
     }
+    // band-df cap as a WINDOW count over the (band, key) partitioning: one
+    // exchange instead of the groupBy + join-back pair, and the self-join
+    // below joins on the same keys, so it runs exchange-free off the
+    // persisted windowed rows
     val banded = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("bdf") <= maxBandDf)
+      .select(col("id"), col("band"), col("key"))
       .persist()
-    val small = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bdf")).where(col("bdf") <= maxBandDf)
-      .select("band", "key")
-    val f = banded.join(small, Seq("band", "key"))
+    val f = banded
     val cands = f.as("x").join(f.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val sizes = mh.select(col("id"), col("nsh"))
     // |A∩B| per candidate: equi-join on (doc, h), no shingle cross join
     val inter = cands
       .join(sh.select(col("id").as("doc_a"), col("h")), Seq("doc_a"))
@@ -236,11 +263,12 @@ object Dedup {
       .withColumn("jaccard", col("m").cast("double") / (col("na") + col("nb") - col("m")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      // pair set is tiny; materialize so both caches can be released
-      .localCheckpoint()
+    // pair set is tiny; materialize so all three caches can be released
+    val out = cut(result)
     banded.unpersist()
+    mh.unpersist()
     sh.unpersist()
-    result
+    out
   }
 
   /** simhash near-dup PAIRS within Hamming distance `maxDist`: the
@@ -265,16 +293,19 @@ object Dedup {
       val key = shiftright(col("simhash"), b * w) % lit(1L << width)
       struct(lit(b).as("band"), key.as("key"))
     }
-    // feeds the df-cap aggregate AND both self-join sides: persist once
+    // band-df cap as a WINDOW count over the (band, key) partitioning (one
+    // exchange instead of groupBy + join-back; the self-join below reuses
+    // the same partitioning off the persisted rows — guide §2.4)
     val banded = sig.select(col("id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("bdf") <= maxBandDf)
+      .select(col("id"), col("simhash"), col("band"), col("key"))
       .persist()
-    val small = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bdf")).where(col("bdf") <= maxBandDf)
-      .select("band", "key")
-    val f = banded.join(small, Seq("band", "key"))
+    val f = banded
     val pairs = f.as("x").join(f.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -285,10 +316,10 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      // pair set is tiny; materialize so the banded cache can be released
-      .localCheckpoint()
+    // pair set is tiny; materialize so the banded cache can be released
+    val out = cut(result)
     banded.unpersist()
-    result
+    out
   }
 
   /** Passage-level exact dedup (the CCNet/paragraph-dedup recipe over
@@ -367,9 +398,19 @@ object Dedup {
               shingle_hash(array_join(slice(toks, i, lit(n)), " ")).as("h"))))
           .otherwise(array())).as("pw"))
       .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
-    val dup = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ddf"))
-      .where(col("ddf") >= minDocs).select("h")
+    // minDocs == 2 (the default): "h occurs in >= 2 distinct docs" is
+    // exactly min(doc) != max(doc), which is a single-exchange aggregate
+    // with map-side combine — the countDistinct form plans an extra
+    // exchange (two-phase distinct rewrite) that this skips (guide §2.3)
+    val dup =
+      if (minDocs == 2)
+        wins.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+          .where(col("dmin") =!= col("dmax")).select("h")
+      else
+        wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("ddf"))
+          .where(col("ddf") >= minDocs).select("h")
     val hits = wins.join(dup, Seq("h")).select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     // a window starting at pos covers tokens [pos, pos+n-1]; the next start
@@ -457,6 +498,37 @@ object Dedup {
     import spark.implicits._
     val e = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
+    // SMALL-PAIR-SET fast path (the same driver-cap pattern as the text
+    // index's small-query kernel): near-dup pair sets are evidence, not
+    // corpus — usually orders of magnitude smaller than the docs that
+    // produced them. Under the cap, one bounded collect + union-find on
+    // the driver replaces O(log n) distributed rounds of 4 exchanges
+    // each; past the cap the pointer-jumping loop below runs unchanged.
+    // Output is identical by definition: comp = min id reachable.
+    val ccCap = spark.conf.getOption("spark.graft.ccMaxDriverPairs")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (ccCap > 0 && e.limit((ccCap + 1).toInt).count() <= ccCap) {
+      val rows = e.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      rows.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().iterator().asScala
+        .map(id => (id, find(id))).toSeq
+      return spark.createDataset(out).toDF("id", "comp")
+    }
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
     var comp = sym.select(col("u").as("id")).distinct()

@@ -415,6 +415,9 @@ class DataOpsSpec extends AnyFunSuite {
           exception: Exception): Unit = actions.add(s"FAIL:$funcName")
     }
     spark.listenerManager.register(listener)
+    // this spec asserts the DISTRIBUTED loop's per-round job shape —
+    // disable the small-pair-set driver fast path so the loop runs
+    spark.conf.set("spark.graft.ccMaxDriverPairs", "0")
     try {
       val edges = (0L until 8L).map(i => (i + 1, i)).toDF("a", "b")
       val comp = Dedup.connectedComponents(edges, "a", "b")
@@ -429,6 +432,30 @@ class DataOpsSpec extends AnyFunSuite {
       assert(inLoop.nonEmpty, "listener saw no actions")
       assert(inLoop.forall(_.toLowerCase.contains("checkpoint")),
         s"loop issued non-checkpoint actions: ${inLoop.mkString(", ")}")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.graft.ccMaxDriverPairs")
+    }
+  }
+
+  test("connected components: driver fast path equals the distributed loop") {
+    // r7: under spark.graft.ccMaxDriverPairs the pair set is collected and
+    // union-found on the driver — must produce the identical (id, min
+    // reachable id) labeling as the pointer-jumping loop, including
+    // chains, merged stars and isolated pairs
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L),
+      (20L, 21L), (5L, 4L), (30L, 31L), (31L, 32L), (32L, 30L)))
+      .toDF("a", "b")
+    val fast = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().sorted
+    spark.conf.set("spark.graft.ccMaxDriverPairs", "0")
+    val dist =
+      try Dedup.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().sorted
+      finally spark.conf.unset("spark.graft.ccMaxDriverPairs")
+    assert(fast.toSeq == dist.toSeq)
+    assert(fast.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 }

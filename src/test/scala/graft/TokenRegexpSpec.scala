@@ -86,9 +86,19 @@ class TokenRegexpSpec extends AnyFunSuite {
     assert(GraftIndex.regexpRequiredLiteral("abc*") == (("ab", true, false)))
     assert(GraftIndex.regexpRequiredLiteral("ab+cd") == (("ab", true, false)))
     assert(GraftIndex.regexpRequiredLiteral("qu.r*y")._1 == "qu")
-    // groups/alternation stop the scan; runs before them stay usable
+    // groups stop the scan; runs before them stay usable (the '|' inside
+    // the group is group-local, so "abcd" is still required)
     assert(GraftIndex.regexpRequiredLiteral("abcd(x|y)ef") == (("abcd", true, false)))
-    assert(GraftIndex.regexpRequiredLiteral("a|b") == (("a", true, false)))
+    // a TOP-LEVEL alternation requires NO literal: "a|b" matches "b"
+    // without containing "a" — pruning on "a" would drop it (r6 ADVICE
+    // high: false negatives in indexed regexp search)
+    assert(GraftIndex.regexpRequiredLiteral("a|b") == (("", false, false)))
+    assert(GraftIndex.regexpRequiredLiteral("spark|scan") == (("", false, false)))
+    assert(GraftIndex.regexpRequiredLiteral("ab(c)d|e") == (("", false, false)))
+    // escaped '|' is a literal, not an alternation
+    assert(GraftIndex.regexpRequiredLiteral("a\\|b") == (("a|b", true, true)))
+    // trailing lone backslash: malformed — no bogus literal '\'
+    assert(GraftIndex.regexpRequiredLiteral("ab\\")._1 == "ab")
     assert(GraftIndex.regexpRequiredLiteral("\\d+") == (("", false, false)))
     assert(GraftIndex.regexpRequiredLiteral("a\\.b") == (("a.b", true, true)))
   }
