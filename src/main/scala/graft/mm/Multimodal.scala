@@ -60,6 +60,14 @@ object Multimodal {
 
   // ---- REAL codecs (JDK-only: ImageIO PNG, RIFF/PCM WAV) ----
 
+  // ImageIO's default stream cache is DISK-backed: every read/write spills
+  // through a temp FILE (FileCacheImageInput/OutputStream) — per-image
+  // file creation that dominates small-image decode and couples throughput
+  // to /tmp latency. Payloads here stream through memory instead. JVM-wide
+  // flag, set once per classload (executors included: the first task that
+  // touches this object sets it before any codec call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** deterministic w x h grayscale PNG: pixel(i) = (seed*31 + i) mod 256,
     * i row-major — the analytic formula the oracle replays. PNG is
     * lossless, so decode returns exactly these values. */

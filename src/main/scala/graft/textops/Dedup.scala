@@ -73,6 +73,13 @@ object Dedup {
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shinglesRaw(docs, idCol, textCol, n)
       .select(col("id"), shingle_hash(col("shingle")).as("h"))
+      // ONE id-keyed exchange that both the (id, h) distinct AND every
+      // downstream per-doc aggregate (minhash signatures, decontaminate's
+      // per-doc match count) reuse — hash-partitioning on id satisfies the
+      // (id, h) clustered distribution, so the distinct plans with no
+      // exchange of its own: two corpus-wide exchanges become one
+      // (guide §2.4 "two operations keyed the same way share one exchange")
+      .repartition(col("id"))
       .distinct()
 
   /** Benchmark decontamination (the GPT-3/Gopher/Llama recipe, public
@@ -435,8 +442,11 @@ object Dedup {
     * bits <= 30 are identical to earlier single-stream ones. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
     require(bits <= 60, s"simhash supports at most 60 bits (two 30-bit hash streams), got $bits")
+    // one id-keyed exchange shared by the (id, term) tf aggregate and the
+    // per-doc bit aggregate below (same fusion as hashedShingles)
     val toks = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
+      .repartition(col("id"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("h", poly_hash(col("term")))
       .withColumn("h2", (col("h") * lit(31L) + lit(17L)) % lit(P))
