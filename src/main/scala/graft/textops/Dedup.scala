@@ -406,19 +406,27 @@ object Dedup {
           .otherwise(array())).as("pw"))
       .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
     // minDocs == 2 (the default): "h occurs in >= 2 distinct docs" is
-    // exactly min(doc) != max(doc), which is a single-exchange aggregate
-    // with map-side combine — the countDistinct form plans an extra
-    // exchange (two-phase distinct rewrite) that this skips (guide §2.3)
-    val dup =
-      if (minDocs == 2)
-        wins.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
-          .where(col("dmin") =!= col("dmax")).select("h")
-      else
-        wins.groupBy(col("h"))
+    // exactly min(doc) != max(doc) — computed as a WINDOW over the h
+    // partitioning, which yields the duplicated-window HITS directly in
+    // the same pass: the corpus is tokenized ONCE and shuffled ONCE
+    // (the old dup-aggregate + join-back shape re-ran the whole
+    // tokenize+explode lineage for the join side and exchanged it twice;
+    // guide §2.4). minDocs > 2 keeps the aggregate + join form (a window
+    // count-distinct has no single-pass equivalent).
+    val hits =
+      if (minDocs == 2) {
+        val byH = Window.partitionBy(col("h"))
+        wins
+          .withColumn("dmin", min(col("doc_id")).over(byH))
+          .withColumn("dmax", max(col("doc_id")).over(byH))
+          .where(col("dmin") =!= col("dmax"))
+          .select("doc_id", "pos")
+      } else {
+        val dup = wins.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("ddf"))
           .where(col("ddf") >= minDocs).select("h")
-    val hits = wins.join(dup, Seq("h")).select("doc_id", "pos")
+        wins.join(dup, Seq("h")).select("doc_id", "pos")
+      }
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     // a window starting at pos covers tokens [pos, pos+n-1]; the next start
     // merges when it begins at or before pos+n (overlap or token-adjacent)
